@@ -1,0 +1,133 @@
+"""Throughput benchmark: contact-scheme steps/sec at ~100k particles.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: the rigid-body contact pipeline (benchmark-3 physics: bodies
+under gravity over a tank, full Mofidi contact + GTVF step) at ~100k
+particles, 2D, float32 — the configuration the north-star metric tracks
+(BASELINE.md: steps/sec at 100k on one chip).
+
+``vs_baseline``: speedup over the SAME fused program executed by XLA on
+the host CPU (all cores) — our stand-in for the reference's
+OpenMP-parallel C loops, measured in a subprocess so both backends get
+identical code.  The reference publishes no numbers (BASELINE.md), so a
+measured same-machine CPU baseline is the honest comparison.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_TARGET = int(os.environ.get("BENCH_N", 100_000))
+N_STEPS = int(os.environ.get("BENCH_STEPS", 200))
+CPU_STEPS = int(os.environ.get("BENCH_CPU_STEPS", 10))
+
+
+def build_scene():
+    from rigid_body_2d_3d_pysph_tpu.geom import (
+        get_2d_block, create_tank_2d_from_block_2d,
+    )
+    from rigid_body_2d_3d_pysph_tpu.models.rigid_body import RigidBody2DScheme
+    from rigid_body_2d_3d_pysph_tpu.state import (
+        make_group, build_scene, ROLE_RIGID, ROLE_BOUNDARY,
+    )
+
+    # 8 large bodies (~12k particles each) falling into a tank
+    n_bodies = 8
+    side = 110  # 110x110 = 12100 particles per body
+    dx = 0.2 / (side - 1)
+    xb1, yb1 = get_2d_block(dx, 0.2, 0.2)
+    xs, ys, bid = [], [], []
+    for b in range(n_bodies):
+        col, row = b % 4, b // 4
+        xs.append(xb1 + col * 0.25)
+        ys.append(yb1 + 0.3 + row * 0.25)
+        bid.append(np.full(len(xb1), b, np.int32))
+    xb, yb = np.concatenate(xs), np.concatenate(ys)
+    bid = np.concatenate(bid)
+    xt, yt = create_tank_2d_from_block_2d(
+        np.array([-0.15, 1.1]), np.array([0.0, 1.2]), 1.25, 1.2, dx, 3)
+    m = 2000.0 * dx * dx
+    body = make_group("body", xb, yb, m=m, h=1.3 * dx, rho=2000.0,
+                      rad_s=dx / 2, role=ROLE_RIGID, body_id=bid, dem_id=bid,
+                      constants={"E": 69e9, "poisson_ratio": 0.3})
+    tank = make_group("tank", xt, yt, m=m, h=1.3 * dx, rho=2000.0,
+                      rad_s=dx / 2, role=ROLE_BOUNDARY, dem_id=n_bodies,
+                      constants={"E": 69e9, "poisson_ratio": 0.3})
+    scene = build_scene([body, tank], dim=2, total_no_bodies=n_bodies + 1,
+                        spacing0=dx)
+    scheme = RigidBody2DScheme(rigid_bodies=["body"], boundaries=["tank"],
+                               gy=-9.81, dim=2)
+    scene = scheme.setup(scene)
+    return scheme, scene
+
+
+def measure(n_steps: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from rigid_body_2d_3d_pysph_tpu.models.rigid_body import make_multi_step
+
+    scheme, scene = build_scene()
+    step = scheme.make_step(scene)
+    chunk = min(n_steps, 50)
+    multi = make_multi_step(step, chunk)
+    dt = jnp.asarray(1e-4)
+
+    # warmup/compile
+    scene_w = multi(scene, dt)
+    jax.block_until_ready(scene_w.fields["x"])
+
+    done = 0
+    t0 = time.perf_counter()
+    s = scene_w
+    while done < n_steps:
+        s = multi(s, dt)
+        done += chunk
+    jax.block_until_ready(s.fields["x"])
+    el = time.perf_counter() - t0
+    assert not bool(np.asarray(s.nbr_overflow)), "neighbor overflow"
+    assert np.isfinite(np.asarray(s.fields["x"])).all()
+    return dict(steps_per_sec=done / el, n=scene.n,
+                platform=jax.devices()[0].platform)
+
+
+if __name__ == "__main__":
+    if "--cpu-baseline" in sys.argv:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        r = measure(CPU_STEPS)
+        print(json.dumps(r))
+        sys.exit(0)
+
+    r = measure(N_STEPS)
+
+    # CPU baseline in a subprocess (same code, XLA CPU on all host cores)
+    vs = None
+    try:
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
+            capture_output=True, text=True, timeout=3600, env=env)
+        for line in out.stdout.strip().splitlines()[::-1]:
+            try:
+                cpu = json.loads(line)
+                vs = r["steps_per_sec"] / cpu["steps_per_sec"]
+                break
+            except json.JSONDecodeError:
+                continue
+    except Exception:
+        pass
+
+    print(json.dumps({
+        "metric": f"rigid-contact steps/sec @ {r['n']} particles "
+                  f"({r['platform']})",
+        "value": round(r["steps_per_sec"], 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))

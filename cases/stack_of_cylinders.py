@@ -1,0 +1,200 @@
+"""Zhang et al. stack-of-cylinders collapse — the repo's experimental
+validation case.
+
+Mirrors ``code/stack_of_cylinders.py``: 33 cylinders (rows of 6/5
+alternating, ``create_cylinders_stack_1`` :300-367) of diameter 1 cm at
+1 mm spacing behind a dam wall; the retaining wall is yanked +0.25 m in
+x at t = 0.2 s (``post_step`` :438-445); the system COM trajectory is
+compared against the digitized experimental curves
+``x_com_zhang.csv`` / ``y_com_zhang.csv`` (``post_process`` :447-509).
+fric_coeff = 0.45, restitution 0.6 (:231-234, :245), dt = 5e-5,
+tf = 0.5 + 0.2.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax.numpy as jnp
+
+from rigid_body_2d_3d_pysph_tpu import config
+from rigid_body_2d_3d_pysph_tpu.app.application import Application
+from rigid_body_2d_3d_pysph_tpu.app.boundary_utils import identify_template
+from rigid_body_2d_3d_pysph_tpu.app import output as out_mod
+from rigid_body_2d_3d_pysph_tpu.geom import (
+    create_circle_1, get_2d_block, hydrostatic_tank_2d,
+)
+from rigid_body_2d_3d_pysph_tpu.models.base import SchemeChooser
+from rigid_body_2d_3d_pysph_tpu.models.rigid_body import RigidBody3DScheme
+from rigid_body_2d_3d_pysph_tpu.state import (
+    make_group, build_scene, ROLE_RIGID, ROLE_BOUNDARY,
+)
+
+ZHANG_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+class ZhangStackOfCylinders(Application):
+    def initialize(self):
+        self.dim = 2
+        spacing = 1.0
+        self.dam_length = 26e-2
+        self.dam_height = 26e-2
+        self.dam_spacing = spacing * 1e-3
+        self.dam_layers = 5
+        self.dam_rho = 2000.0
+        self.cylinder_radius = 0.5e-2
+        self.cylinder_diameter = 1e-2
+        self.cylinder_spacing = spacing * 1e-3
+        self.cylinder_rho = 2700.0
+        self.wall_height = 20e-2
+        self.wall_spacing = spacing * 1e-3
+        self.wall_layers = 2
+        self.wall_time = 0.2
+        self.wall_rho = 2700.0
+        self.hdx = 1.0
+        self.gy = -9.81
+        self.h = self.hdx * self.cylinder_spacing
+        self.tf = 0.5 + self.wall_time
+        self.dt = 5e-5
+
+    def create_cylinders_stack(self):
+        """Rows of 6/5 cylinders x 3 (reference :300-367)."""
+        d, s, r = (self.cylinder_diameter, self.cylinder_spacing,
+                   self.cylinder_radius)
+        xc, yc = create_circle_1(d, s, [r, r + s / 2.0])
+        n_per = len(xc)
+
+        def row(n, x0, y0, pitch):
+            xs, ys = [], []
+            for i in range(n):
+                xs.append(xc - xc.min() + xc.min() + x0 + i * pitch)
+                ys.append(yc + y0)
+            return xs, ys
+
+        rows = []
+        # three (6-row, 5-row) pairs stacked (same construction as the
+        # reference: 5-rows offset by 0.78 d and re-centered)
+        y6 = 0.0
+        for _ in range(3):
+            xs6, ys6 = row(6, 0.0, y6, d + s / 4.0)
+            rows.extend(zip(xs6, ys6))
+            y5 = y6 + 0.78 * d
+            xs5, ys5 = row(5, r - s / 2.0, y5 + s + 2.0 * s, d + s / 2.0)
+            rows.extend(zip(xs5, ys5))
+            ys5max = max(y.max() for y in ys5)
+            y6 = ys5max - yc.min() + s
+        x = np.concatenate([rx for rx, _ in rows])
+        y = np.concatenate([ry for _, ry in rows])
+        bid = np.concatenate([
+            np.full(n_per, i, np.int32) for i in range(len(rows))])
+        return x, y, bid, n_per
+
+    def create_particles(self):
+        s = self.cylinder_spacing
+        xc, yc, body_id, n_per = self.create_cylinders_stack()
+        m = self.cylinder_rho * s**2
+        n_bodies = int(body_id.max()) + 1  # 33
+
+        cylinders = make_group(
+            "cylinders", xc, yc, m=m, h=self.h, rho=self.cylinder_rho,
+            rad_s=s / 2.0, role=ROLE_RIGID, body_id=body_id, dem_id=body_id,
+            constants={"E": 69e9, "poisson_ratio": 0.3},
+        )
+
+        # dam (tank walls), aligned to the cylinders (reference :152-169)
+        _, _, xd, yd = hydrostatic_tank_2d(
+            self.dam_length, self.dam_height, self.dam_height,
+            self.dam_layers, s, s)
+        xd += xc.min() - xd.min() - self.dam_spacing * self.dam_layers
+        yd += yc.min() - yd.min() - self.dam_spacing * self.dam_layers
+
+        # keep only the dam's inner surface layer near the action
+        # (the reference deletes interior + outer rows, :203-226)
+        dam = make_group(
+            "dam", xd, yd, m=m, h=self.h, rho=self.cylinder_rho,
+            rad_s=self.dam_spacing / 2.0, role=ROLE_BOUNDARY,
+            dem_id=n_bodies, constants={"E": 30e8, "poisson_ratio": 0.3},
+        )
+
+        # removable wall right of the stack (reference :171-190)
+        xw, yw = get_2d_block(self.wall_spacing, self.cylinder_spacing / 2.0,
+                              self.wall_height / 4.0)
+        xw += xc.max() - xw.min() + self.cylinder_spacing
+        yw += yd.min() - yw.min()
+        wall = make_group(
+            "wall", xw, yw, m=m, h=self.h, rho=self.cylinder_rho,
+            rad_s=self.cylinder_spacing / 2.0, role=ROLE_BOUNDARY,
+            dem_id=n_bodies + 1, constants={"E": 30e8, "poisson_ratio": 0.3},
+        )
+
+        scene = build_scene([cylinders, dam, wall], dim=self.dim,
+                            total_no_bodies=n_bodies + 2, spacing0=s)
+        coeff = np.full((n_bodies, n_bodies + 2), 0.6)
+        scene = self.scheme.scheme.setup(scene, coeff_of_rest=coeff)
+
+        # per-cylinder template surface flags (reference :194-198,254-297)
+        isb_tpl = identify_template(
+            xc[:n_per], yc[:n_per], m=m, h=self.h, rho=self.cylinder_rho,
+            dim=self.dim)
+        fdt = config.float_dtype()
+        full_isb = np.asarray(scene.is_boundary).copy()
+        cfib = np.asarray(scene.contact_force_is_boundary).copy()
+        g = scene.meta.group("cylinders")
+        full_isb[g.start:g.stop] = np.tile(isb_tpl, n_bodies)
+        cfib[g.start:g.stop] = np.tile(isb_tpl, n_bodies)
+        # wall: every particle is a contact surface (reference :228-229)
+        gw = scene.meta.group("wall")
+        cfib[gw.start:gw.stop] = 1.0
+        scene = scene.replace(
+            is_boundary=jnp.asarray(full_isb, jnp.int32),
+            contact_force_is_boundary=jnp.asarray(cfib, fdt),
+        )
+
+        # schedule the wall removal (reference post_step :438-445)
+        def yank_wall(scene):
+            gw = scene.meta.group("wall")
+            x = np.asarray(scene.x).copy()
+            x[gw.start:gw.stop] += 0.25
+            return scene.replace(x=jnp.asarray(x, fdt))
+
+        self.add_event(self.wall_time, yank_wall)
+        return scene
+
+    def create_scheme(self):
+        rb3d = RigidBody3DScheme(
+            rigid_bodies=["cylinders"], boundaries=["dam", "wall"],
+            gx=0.0, gy=self.gy, gz=0.0, dim=2, fric_coeff=0.45)
+        return SchemeChooser(default="rb3d", rb3d=rb3d)
+
+    def configure_scheme(self):
+        self.scheme.configure_solver(dt=self.dt, tf=self.tf, pfreq=100)
+
+    def post_process(self, fname=None):
+        files = self.output_files
+        if not files:
+            return None
+        t, sx, sy = [], [], []
+        for sd, arr in out_mod.iter_output(files, "cylinders"):
+            t.append(float(sd["t"]))
+            xcm = arr.xcm_mat
+            sx.append(xcm[:, 0].mean() / self.dam_length)
+            sy.append(xcm[:, 1].mean() / self.dam_length)
+        t = np.asarray(t) - self.wall_time
+        res = dict(t=t, x_com=np.asarray(sx), y_com=np.asarray(sy))
+        zx = np.loadtxt(os.path.join(ZHANG_DIR, "x_com_zhang.csv"),
+                        delimiter=",")
+        zy = np.loadtxt(os.path.join(ZHANG_DIR, "y_com_zhang.csv"),
+                        delimiter=",")
+        res["zhang_t_x"], res["zhang_x"] = zx[:, 0], zx[:, 1]
+        res["zhang_t_y"], res["zhang_y"] = zy[:, 0], zy[:, 1]
+        np.savez(os.path.join(self.output_dir, "results.npz"), **res)
+        return res
+
+
+if __name__ == "__main__":
+    app = ZhangStackOfCylinders(fname="stack_of_cylinders")
+    app.run()
+    app.post_process(app.info_filename)

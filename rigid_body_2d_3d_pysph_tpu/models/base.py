@@ -1,0 +1,102 @@
+"""Scheme base class and SchemeChooser.
+
+Mirrors the reference's config plumbing: PySPH ``Scheme`` subclasses with
+``add_user_options / consume_user_options / get_equations /
+configure_solver / setup_properties`` (e.g. ``code/rigid_body_3d.py:578``)
+and ``SchemeChooser`` (used by every benchmark app, e.g.
+``code/benchmark_1...py:120-124``).
+
+In this framework a scheme owns:
+* ``setup(scene, ...)``        — host-side state attachment (the
+  ``setup_properties`` equivalent),
+* ``make_step()``              — returns a jitted ``step(scene, dt)``
+  implementing one full integrator timestep (the equation groups +
+  stepper stages fused into a single device program),
+* velocity-setting APIs matching the reference's
+  (``set_linear_velocity`` / ``set_angular_velocity``).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..ops import neighbors as nbmod
+from ..state.scene import Scene
+
+
+class Scheme:
+    name = "scheme"
+
+    def add_user_options(self, group: argparse._ArgumentGroup) -> None:
+        pass
+
+    def consume_user_options(self, options: argparse.Namespace) -> None:
+        pass
+
+    def configure(self, **kw) -> None:
+        for k, v in kw.items():
+            if not hasattr(self, k):
+                raise AttributeError(f"{type(self).__name__} has no option {k!r}")
+            setattr(self, k, v)
+
+    # solver configuration (dt/tf/pfreq), mirroring configure_solver kwargs
+    def configure_solver(self, dt: float, tf: float, pfreq: int = 100,
+                         **kw) -> None:
+        self.dt = float(dt)
+        self.tf = float(tf)
+        self.pfreq = int(pfreq)
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+    def setup(self, scene: Scene, **kw) -> Scene:
+        raise NotImplementedError
+
+    def make_step(self):
+        raise NotImplementedError
+
+    # -- shared helpers ---------------------------------------------------
+    def neighbor_config(self, scene: Scene, radius_scale: float,
+                        safety: float = 2.0) -> nbmod.NeighborConfig:
+        x = np.asarray(scene.x)
+        y = np.asarray(scene.y)
+        z = np.asarray(scene.z)
+        h = np.asarray(scene.h)
+        cutoff = float(radius_scale * h.max())
+        m, k = nbmod.estimate_capacities(x, y, z, cutoff, scene.meta.dim,
+                                         safety=safety)
+        cfg = nbmod.default_config(scene.meta.dim, cutoff, scene.n,
+                                   max_neighbors=k, max_per_cell=m)
+        return cfg
+
+
+class SchemeChooser(Scheme):
+    """Selects one of several schemes by CLI flag (reference: PySPH
+    ``SchemeChooser``, used at ``code/benchmark_1...py:120-124``)."""
+
+    def __init__(self, default: str, **schemes: Scheme):
+        self.schemes: Dict[str, Scheme] = dict(schemes)
+        self.default = default
+        self.scheme: Scheme = self.schemes[default]
+
+    def select(self, name: Optional[str]) -> Scheme:
+        if name:
+            self.scheme = self.schemes[name]
+        return self.scheme
+
+    def add_user_options(self, group) -> None:
+        group.add_argument("--scheme", default=self.default,
+                           choices=sorted(self.schemes.keys()),
+                           help="Scheme to use")
+        for s in self.schemes.values():
+            s.add_user_options(group)
+
+    def consume_user_options(self, options) -> None:
+        self.select(getattr(options, "scheme", None))
+        self.scheme.consume_user_options(options)
+
+    def __getattr__(self, k):
+        # delegate everything else to the active scheme
+        return getattr(self.__dict__["scheme"], k)

@@ -1,0 +1,293 @@
+"""Rigid-fluid coupling scheme: WCSPH (optionally EDAC) fluid + Adami
+wall BC + Akinci-style two-way FSI + the rigid contact pipeline, in one
+fused GTVF step.
+
+Re-design of the reference's ``RigidFluidCouplingScheme``
+(``code/rigid_fluid_coupling.py:555-1084``).  Equation assembly parity
+(reference ``get_equations`` :636-799):
+
+stage-1 evaluation (fluid density/pressure rates):
+  ContinuityEquation(fluid <- fluid+boundary) [+ EDACEquation]
+  ContinuityEquationFSI(fluid <- rigid)       [+ EDACEquationFSI]
+stage-2 evaluation:
+  [no-EDAC] TaitEOS(fluid)
+  SetWallVelocity + SolidWallPressureBC + ClampWallPressure  (boundary)
+  SetWallVelocity + SolidWallPressureBCFSI                   (rigid; no
+    clamp — commented out in the reference :716-717)
+  fluid momentum: ArtificialViscosity + PressureGradient (+g) +
+    ForceOnFluidDuetoRigidBody
+  rigid contact pipeline G1..G6 with ForceOnRigidBodyDuetoFluid added
+    before the per-body sum (:784-788)
+
+Steppers: ``GTVFFluidStep`` (:273-298) for fluids and the 3D rigid-body
+GTVF stepper for bodies (:301-486, an exact copy of rigid_body_3d's).
+The fluid's first half-kick uses the acceleration stored from the
+previous step's stage-2 evaluation (stage-1 equations never touch au),
+so ``au/av/aw`` persist in the Scene.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..ops import fluid as fops
+from ..ops import neighbors as nbmod
+from ..ops.kernels import get_kernel
+from ..state import rigid_setup
+from ..state.scene import Scene
+from .base import Scheme
+from .rigid_body import (
+    _attach_contact_fields,
+    _body_half_kick,
+    _body_drift,
+    _particles_from_body_velocity,
+    _particles_from_body_position,
+    rigid_contact_force_eval,
+    run_boundary_identification,
+)
+
+
+class RigidFluidCouplingScheme(Scheme):
+    name = "rfc"
+
+    def __init__(self, fluids, boundaries, rigid_bodies, dim, rho0, p0, c0,
+                 h, nu, kr=1e5, kf=1e5, en=0.5, fric_coeff=0.5, gamma=7.0,
+                 gx=0.0, gy=0.0, gz=0.0, alpha=0.1, beta=0.0,
+                 kernel_choice="1", kernel_factor=3, edac_alpha=0.5):
+        self.fluids = list(fluids or [])
+        self.boundaries = list(boundaries or [])
+        self.rigid_bodies = list(rigid_bodies or [])
+        self.dim = dim
+        self.rho0, self.p0, self.c0, self.gamma = rho0, p0, c0, gamma
+        self.h = h
+        self.nu = nu
+        self.kr, self.kf, self.en, self.fric_coeff = kr, kf, en, fric_coeff
+        self.gx, self.gy, self.gz = gx, gy, gz
+        self.fluid_alpha = alpha
+        self.beta = beta
+        self.edac = True
+        self.edac_alpha = edac_alpha
+        self.kernel_name = "quintic"
+        self.dt = None
+        self.tf = None
+        self.pfreq = 100
+        self._nbr_cfg: Optional[nbmod.NeighborConfig] = None
+
+    @property
+    def edac_nu(self):
+        """nu_edac = alpha h c0 / 8 (reference ``attributes_changed``
+        :633-634)."""
+        return self.fluid_alpha * self.h * self.c0 / 8.0
+
+    def add_user_options(self, group):
+        group.add_argument("--kr-stiffness", dest="kr", default=1e5,
+                           type=float)
+        group.add_argument("--kf-stiffness", dest="kf", default=1e3,
+                           type=float)
+        group.add_argument("--fric-coeff", dest="fric_coeff", default=0.5,
+                           type=float)
+        group.add_argument("--fluid-alpha", dest="fluid_alpha", default=0.5,
+                           type=float, help="Artificial viscosity")
+        group.add_argument("--edac", dest="edac", action="store_true",
+                           default=True)
+        group.add_argument("--no-edac", dest="edac", action="store_false")
+
+    def consume_user_options(self, options):
+        for k in ("kr", "kf", "fric_coeff", "fluid_alpha", "edac"):
+            if hasattr(options, k):
+                setattr(self, k, getattr(options, k))
+
+    # -- setup ------------------------------------------------------------
+    def setup(self, scene: Scene, coeff_of_rest=None,
+              identify_boundaries: bool = True) -> Scene:
+        """State attachment mirroring ``setup_properties`` (:835-1030):
+        rigid contact slots + body state + FSI shadow fields + Adami
+        ghost fields; fluid rate/EOS fields."""
+        fdt = config.float_dtype()
+        n = scene.n
+        scene = _attach_contact_fields(scene)
+        if scene.meta.nb > 0:
+            scene = rigid_setup.setup_body_state(scene, coeff_of_rest)
+        add = {}
+        for k in ("rho_fsi", "m_fsi", "p_fsi", "wij_adami",
+                  "uf", "vf", "wf", "ug", "vg", "wg",
+                  "arho", "ap", "au", "av", "aw", "vol", "cs"):
+            if k not in scene:
+                add[k] = jnp.zeros(n, fdt)
+        scene = scene.with_fields(**add)
+        rho_safe = np.where(np.asarray(scene.rho) > 0, np.asarray(scene.rho),
+                            1.0)
+        scene = scene.replace(
+            vol=jnp.asarray(np.asarray(scene.m) / rho_safe, fdt),
+            cs=jnp.full(n, self.c0, fdt),
+        )
+        kernel = get_kernel(self.kernel_name, self.dim)
+        self._nbr_cfg = self.neighbor_config(scene, kernel.radius_scale)
+        if identify_boundaries and (self.rigid_bodies or self.boundaries):
+            scene = run_boundary_identification(
+                scene, kernel, self._nbr_cfg,
+                self.rigid_bodies + self.boundaries)
+            cfib = np.asarray(scene.is_boundary).astype(np.float64)
+            scene = scene.replace(
+                contact_force_is_boundary=jnp.asarray(cfib, fdt))
+        return scene
+
+    def set_linear_velocity(self, scene, vel):
+        return rigid_setup.set_linear_velocity(scene, vel)
+
+    def set_angular_velocity(self, scene, omega):
+        return rigid_setup.set_angular_velocity(scene, omega)
+
+    # -- the fused step ---------------------------------------------------
+    def make_step(self, scene: Scene):
+        kernel = get_kernel(self.kernel_name, self.dim)
+        if self._nbr_cfg is None:
+            self._nbr_cfg = self.neighbor_config(scene, kernel.radius_scale)
+        cfg = self._nbr_cfg
+        params = dict(kr=self.kr, kf=self.kf, fric_coeff=self.fric_coeff,
+                      gx=self.gx, gy=self.gy, gz=self.gz)
+        gx, gy, gz = self.gx, self.gy, self.gz
+        edac = self.edac
+        nu_edac = self.edac_nu
+        c0, rho0, gamma = self.c0, self.rho0, self.gamma
+        fluid_alpha = self.fluid_alpha
+        has_fluid = len(self.fluids) > 0
+        has_rigid = len(self.rigid_bodies) > 0
+
+        @jax.jit
+        def step(scene: Scene, dt):
+            fl = scene.is_fluid & scene.active
+            bd = scene.is_static_boundary & scene.active
+            rb = scene.is_rigid & scene.active
+            fl_bd = fl | bd
+
+            nbrs = nbmod.build_neighbors(scene.x, scene.y, scene.z,
+                                         scene.active, cfg)
+
+            # ---- stage-1 equations: fluid density / pressure rates ----
+            if has_fluid:
+                arho = fops.continuity(scene, nbrs, kernel, fl, fl_bd)
+                ap = (fops.edac(scene, nbrs, kernel, nu_edac, c0, fl, fl_bd)
+                      if edac else jnp.zeros_like(arho))
+                if has_rigid:
+                    arho = arho + fops.continuity(scene, nbrs, kernel, fl,
+                                                  rb, fsi=True)
+                    if edac:
+                        ap = ap + fops.edac(scene, nbrs, kernel, nu_edac,
+                                            c0, fl, rb, fsi=True)
+                scene = scene.replace(arho=arho, ap=ap)
+
+            # ---- stepper stage 1 ----
+            if has_fluid:
+                scene = scene.replace(
+                    u=jnp.where(fl, scene.u + 0.5 * dt * scene.au, scene.u),
+                    v=jnp.where(fl, scene.v + 0.5 * dt * scene.av, scene.v),
+                    w=jnp.where(fl, scene.w + 0.5 * dt * scene.aw, scene.w),
+                )
+            if has_rigid:
+                scene = _body_half_kick(scene, dt, two_d=False)
+                scene = _particles_from_body_velocity(scene)
+
+            # ---- stage-2 equations ----
+            if has_fluid:
+                if not edac:
+                    p, cs = fops.tait_eos(scene, rho0, c0, gamma, fl)
+                    scene = scene.replace(p=p, cs=cs)
+                # Adami BC on static walls: extrapolate p (+ ghost vel)
+                uf, vf, wf, ug, vg, wg, sw = fops.set_wall_velocity(
+                    scene, nbrs, kernel, bd, fl)
+                p_wall = fops.solid_wall_pressure_bc(
+                    scene, nbrs, kernel, gx, gy, gz, bd, fl, sw, clamp=True)
+                scene = scene.replace(
+                    p=jnp.where(bd, p_wall, scene.p),
+                    uf=jnp.where(bd, uf, scene.uf),
+                    vf=jnp.where(bd, vf, scene.vf),
+                    wf=jnp.where(bd, wf, scene.wf),
+                    ug=jnp.where(bd, ug, scene.ug),
+                    vg=jnp.where(bd, vg, scene.vg),
+                    wg=jnp.where(bd, wg, scene.wg),
+                    wij_adami=jnp.where(bd, sw, scene.wij_adami),
+                )
+                if has_rigid:
+                    # ghost pressure on body surfaces -> p_fsi (no clamp)
+                    uf, vf, wf, ug, vg, wg, sw = fops.set_wall_velocity(
+                        scene, nbrs, kernel, rb, fl)
+                    p_fsi = fops.solid_wall_pressure_bc(
+                        scene, nbrs, kernel, gx, gy, gz, rb, fl, sw,
+                        clamp=False)
+                    scene = scene.replace(
+                        p_fsi=jnp.where(rb, p_fsi, scene.p_fsi),
+                        uf=jnp.where(rb, uf, scene.uf),
+                        vf=jnp.where(rb, vf, scene.vf),
+                        wf=jnp.where(rb, wf, scene.wf),
+                        ug=jnp.where(rb, ug, scene.ug),
+                        vg=jnp.where(rb, vg, scene.vg),
+                        wg=jnp.where(rb, wg, scene.wg),
+                        wij_adami=jnp.where(rb, sw, scene.wij_adami),
+                    )
+                # fluid momentum
+                aux, auy, auz = fops.momentum_pressure_gradient(
+                    scene, nbrs, kernel, fl, fl_bd)
+                if abs(fluid_alpha) > 1e-14:
+                    vx, vy, vz = fops.momentum_artificial_viscosity(
+                        scene, nbrs, kernel, fluid_alpha, c0, fl, fl)
+                    aux, auy, auz = aux + vx, auy + vy, auz + vz
+                if has_rigid:
+                    rx, ry, rz = fops.force_on_fluid_due_to_rigid_body(
+                        scene, nbrs, kernel, fl, rb)
+                    aux, auy, auz = aux + rx, auy + ry, auz + rz
+                scene = scene.replace(
+                    au=jnp.where(fl, gx + aux, 0.0),
+                    av=jnp.where(fl, gy + auy, 0.0),
+                    aw=jnp.where(fl, gz + auz, 0.0),
+                )
+
+            if has_rigid:
+                extra = None
+                if has_fluid:
+                    def extra(sc, nb):
+                        return fops.force_on_rigid_body_due_to_fluid(
+                            sc, nb, kernel, rb, fl)
+                scene = rigid_contact_force_eval(scene, nbrs, kernel,
+                                                 params, dt,
+                                                 extra_force=extra)
+
+            scene = scene.replace(
+                nbr_overflow=scene.nbr_overflow | nbrs.overflow)
+
+            # ---- stepper stage 2 (drift) ----
+            if has_fluid:
+                rho_new = scene.rho + dt * scene.arho
+                upd = dict(
+                    x=jnp.where(fl, scene.x + dt * scene.u, scene.x),
+                    y=jnp.where(fl, scene.y + dt * scene.v, scene.y),
+                    z=jnp.where(fl, scene.z + dt * scene.w, scene.z),
+                    rho=jnp.where(fl, rho_new, scene.rho),
+                    vol=jnp.where(fl, scene.m / rho_new, scene.vol),
+                )
+                if edac:
+                    upd["p"] = jnp.where(fl, scene.p + dt * scene.ap,
+                                         scene.p)
+                scene = scene.replace(**upd)
+            if has_rigid:
+                scene = _body_drift(scene, dt, two_d=False)
+                scene = _particles_from_body_position(scene)
+
+            # ---- stepper stage 3 (second half-kick) ----
+            if has_fluid:
+                scene = scene.replace(
+                    u=jnp.where(fl, scene.u + 0.5 * dt * scene.au, scene.u),
+                    v=jnp.where(fl, scene.v + 0.5 * dt * scene.av, scene.v),
+                    w=jnp.where(fl, scene.w + 0.5 * dt * scene.aw, scene.w),
+                )
+            if has_rigid:
+                scene = _body_half_kick(scene, dt, two_d=False)
+                scene = _particles_from_body_velocity(scene)
+            return scene
+
+        return step

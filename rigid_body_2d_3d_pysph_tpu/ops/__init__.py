@@ -1,1 +1,1 @@
-from . import kernels, neighbors
+from . import kernels, neighbors, pairs, boundary, contact, rigid, dem, fluid

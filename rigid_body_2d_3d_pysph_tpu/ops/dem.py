@@ -1,0 +1,315 @@
+"""Granular DEM: Luding linear viscoelastic contact (LVC) with Coulomb
+friction and persistent per-pair tangential history.
+
+Re-design of the reference's ``code/dem.py``:
+
+* ``LVCDisplacement``                         :35-205  (tangential spring
+  stores *displacement*)
+* ``UpdateTangentialContactsLVCDisplacement`` :208-293 (contact-table
+  prune)
+* ``LVCForce`` / ``UpdateTangentialContactsLVCForce`` :296-592 (variant
+  storing the tangential *force*; unreachable through the reference
+  scheme because of a duplicated ``elif`` condition at :729/:750 — kept
+  here as a selectable model)
+
+Contact-table design: the reference keeps a compacting list of (source
+particle index, source dem id) per destination with swap-deletion
+(:251-288).  Because this framework never reorders particles (the
+neighbor grid permutes internally only), source indices are stable, so
+the table becomes a fixed ``[N, L]`` slot array keyed by source index:
+pruning frees slots in place; new contacts fill the lowest free slots.
+Physics is identical — slot order never enters the force law.
+
+Deviations (documented):
+* The reference never zeroes the particle torque accumulators (no
+  equation initializes ``torx/tory/torz``; the shipped repo has no DEM
+  app to surface this).  We reset torque at the start of each force
+  evaluation — the only consistent semantic.
+* The reference's ``LVCForce`` Coulomb check compares a *squared*
+  magnitude against an unsquared one (:485-489, missing sqrt).  We use
+  the mathematically intended comparison.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .neighbors import NeighborList
+from .pairs import pair_data
+
+
+def prune_contact_table(scene, tng_idx, tng_dem, tng_a, tng_b, tng_c):
+    """Free slots whose pair no longer overlaps (reference
+    ``initialize_pair`` :209-293).  Returns updated table + counts."""
+    live = tng_idx >= 0
+    j = jnp.clip(tng_idx, 0, scene.n - 1)
+    dx = scene.x[:, None] - scene.x[j]
+    dy = scene.y[:, None] - scene.y[j]
+    dz = scene.z[:, None] - scene.z[j]
+    rij = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    overlap = scene.rad_s[:, None] + scene.rad_s[j] - rij
+    keep = live & (overlap > 0.0) & (tng_dem == scene.dem_id[j])
+    tng_idx = jnp.where(keep, tng_idx, -1)
+    tng_dem = jnp.where(keep, tng_dem, -1)
+    tng_a = jnp.where(keep, tng_a, 0.0)
+    tng_b = jnp.where(keep, tng_b, 0.0)
+    tng_c = jnp.where(keep, tng_c, 0.0)
+    count = jnp.sum(keep, axis=1).astype(jnp.int32)
+    return tng_idx, tng_dem, tng_a, tng_b, tng_c, count
+
+
+def _match_slots(tng_idx, tng_dem, j, dem_j):
+    """[N,K] pair -> slot index in [N,L] where (idx, dem) matches; -1 if
+    absent (the reference's linear search :129-137)."""
+    # [N, K, L] comparisons; L is small (reference default limit 6-30)
+    eq = (tng_idx[:, None, :] == j[:, :, None]) & (
+        tng_dem[:, None, :] == dem_j[:, :, None]
+    )
+    found = jnp.any(eq, axis=2)
+    slot = jnp.argmax(eq, axis=2)
+    return found, jnp.where(found, slot, -1)
+
+
+def _allocate_slots(free_mask, new_mask):
+    """Assign the r-th new contact of each row to its r-th free slot.
+    Returns [N,K] slot ids (-1 if table full -> contact dropped)."""
+    L = free_mask.shape[1]
+    free_rank = jnp.cumsum(free_mask.astype(jnp.int32), axis=1) - 1
+    # table: rank -> slot index
+    n = free_mask.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], free_mask.shape)
+    rank_to_slot = jnp.full((n, L + 1), -1, jnp.int32).at[
+        rows, jnp.where(free_mask, free_rank, L)
+    ].set(
+        jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :],
+                         free_mask.shape),
+        mode="drop",
+    )[:, :L]
+    n_free = jnp.sum(free_mask, axis=1)
+    new_rank = jnp.cumsum(new_mask.astype(jnp.int32), axis=1) - 1
+    ok = new_mask & (new_rank < n_free[:, None])
+    slot = jnp.where(
+        ok,
+        rank_to_slot[
+            jnp.broadcast_to(jnp.arange(n)[:, None], new_mask.shape),
+            jnp.clip(new_rank, 0, L - 1),
+        ],
+        -1,
+    )
+    return slot
+
+
+def lvc_displacement(scene, nbrs: NeighborList, dt,
+                     tng_idx, tng_dem, tng_x, tng_y, tng_z):
+    """LVC force with tangential-displacement springs (reference :44-205).
+
+    Per-entity material tables (indexed by SOURCE dem id, as the
+    reference's ``d_kn[s_dem_id]`` etc.): scene fields ``dem_kn, dem_kt,
+    dem_alpha, dem_mu`` of length >= max dem id + 1.
+
+    Returns (fx, fy, fz, torx, tory, torz, new table arrays).
+    """
+    pd = pair_data(scene, nbrs)
+    j = pd.j
+    not_self = j != jnp.arange(scene.n)[:, None]
+    overlap = scene.rad_s[:, None] + scene.rad_s[j] - pd.rij
+    gate = pd.mask & not_self & (pd.rij > 0) & (overlap > 0)
+
+    rinv = 1.0 / jnp.maximum(pd.rij, 1e-300)
+    nx, ny, nz = pd.xij * rinv, pd.yij * rinv, pd.zij * rinv
+
+    # contact-point velocities incl. rotation (:73-91)
+    a_i = scene.rad_s[:, None] - overlap / 2.0
+    a_j = scene.rad_s[j] - overlap / 2.0
+    wxi, wyi, wzi = scene.wx[:, None], scene.wy[:, None], scene.wz[:, None]
+    wxj, wyj, wzj = scene.wx[j], scene.wy[j], scene.wz[j]
+    vi_x = scene.u[:, None] + (wyi * nz - wzi * ny) * a_i
+    vi_y = scene.v[:, None] + (wzi * nx - wxi * nz) * a_i
+    vi_z = scene.w[:, None] + (wxi * ny - wyi * nx) * a_i
+    vj_x = scene.u[j] + (-wyj * nz + wzj * ny) * a_j
+    vj_y = scene.v[j] + (-wzj * nx + wxj * nz) * a_j
+    vj_z = scene.w[j] + (-wxj * ny + wyj * nx) * a_j
+    vij_x, vij_y, vij_z = vi_x - vj_x, vi_y - vj_y, vi_z - vj_z
+    vdotn = vij_x * nx + vij_y * ny + vij_z * nz
+    vt_x = vij_x - vdotn * nx
+    vt_y = vij_y - vdotn * ny
+    vt_z = vij_z - vdotn * nz
+
+    dem_j = scene.dem_id[j]
+    kn = scene.dem_kn[dem_j]
+    kt = scene.dem_kt[dem_j]
+    alpha = scene.dem_alpha[dem_j]
+    mu = scene.dem_mu[dem_j]
+    m_eff = scene.m[:, None] * scene.m[j] / (scene.m[:, None] + scene.m[j])
+    eta_n = alpha * jnp.sqrt(m_eff)
+
+    fn = kn * overlap - eta_n * vdotn  # (:112)
+    fn_x, fn_y, fn_z = fn * nx, fn * ny, fn * nz
+
+    # --- tangential history ------------------------------------------------
+    found, slot_found = _match_slots(tng_idx, tng_dem, j, dem_j)
+    found &= gate
+    new_mask = gate & ~found
+    free = tng_idx < 0
+    slot_new = _allocate_slots(free, new_mask)
+
+    n = scene.n
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], j.shape)
+
+    # spring state of found pairs, projected onto the current plane (:156-161)
+    sf = jnp.clip(slot_found, 0, tng_x.shape[1] - 1)
+    sx = jnp.where(found, tng_x[rows, sf], 0.0)
+    sy = jnp.where(found, tng_y[rows, sf], 0.0)
+    sz = jnp.where(found, tng_z[rows, sf], 0.0)
+    sdotn = sx * nx + sy * ny + sz * nz
+    sx, sy, sz = sx - sdotn * nx, sy - sdotn * ny, sz - sdotn * nz
+
+    ft_x = -kt * sx - eta_n * vt_x
+    ft_y = -kt * sy - eta_n * vt_y
+    ft_z = -kt * sz - eta_n * vt_z
+    ft_magn = jnp.sqrt(ft_x**2 + ft_y**2 + ft_z**2)
+    has_t = ft_magn > 1e-12
+    inv_ft = jnp.where(has_t, 1.0 / jnp.maximum(ft_magn, 1e-300), 0.0)
+    tx, ty, tz = ft_x * inv_ft, ft_y * inv_ft, ft_z * inv_ft
+
+    fn_mu = mu * fn
+    slip = ft_magn > fn_mu
+    # saturated: force capped, spring rescaled (:183-192); else spring grows
+    ft_x = jnp.where(slip, fn_mu * tx, ft_x)
+    ft_y = jnp.where(slip, fn_mu * ty, ft_y)
+    ft_z = jnp.where(slip, fn_mu * tz, ft_z)
+    kt_inv = 1.0 / jnp.where(kt > 0, kt, 1.0)
+    new_sx = jnp.where(slip, -kt_inv * (fn_mu * tx + eta_n * vt_x),
+                       sx + vt_x * dt)
+    new_sy = jnp.where(slip, -kt_inv * (fn_mu * ty + eta_n * vt_y),
+                       sy + vt_y * dt)
+    new_sz = jnp.where(slip, -kt_inv * (fn_mu * tz + eta_n * vt_z),
+                       sz + vt_z * dt)
+
+    # new contacts contribute no tangential force this step (:140-148)
+    ft_x = jnp.where(found, ft_x, 0.0)
+    ft_y = jnp.where(found, ft_y, 0.0)
+    ft_z = jnp.where(found, ft_z, 0.0)
+
+    # --- write back table --------------------------------------------------
+    # found pairs: updated spring; new pairs: register with zero spring
+    def upd(tab, val_found, val_new):
+        tab = tab.at[rows, jnp.where(found, sf, tab.shape[1])].set(
+            val_found, mode="drop")
+        tab = tab.at[rows, jnp.where(slot_new >= 0, slot_new,
+                                     tab.shape[1])].set(val_new, mode="drop")
+        return tab
+
+    zero = jnp.zeros_like(new_sx)
+    tng_x = upd(tng_x, jnp.where(found, new_sx, 0.0), zero)
+    tng_y = upd(tng_y, jnp.where(found, new_sy, 0.0), zero)
+    tng_z = upd(tng_z, jnp.where(found, new_sz, 0.0), zero)
+    tng_idx = tng_idx.at[rows, jnp.where(slot_new >= 0, slot_new,
+                                         tng_idx.shape[1])].set(
+        j.astype(jnp.int32), mode="drop")
+    tng_dem = tng_dem.at[rows, jnp.where(slot_new >= 0, slot_new,
+                                         tng_dem.shape[1])].set(
+        dem_j.astype(jnp.int32), mode="drop")
+
+    gsum = lambda v: jnp.sum(jnp.where(gate, v, 0.0), axis=1)
+    fx = gsum(fn_x + ft_x)
+    fy = gsum(fn_y + ft_y)
+    fz = gsum(fn_z + ft_z)
+    # torque = (n x ft) * a_i (:203-205)
+    torx = gsum((ny * ft_z - nz * ft_y) * a_i)
+    tory = gsum((nz * ft_x - nx * ft_z) * a_i)
+    torz = gsum((nx * ft_y - ny * ft_x) * a_i)
+    count = jnp.sum(tng_idx >= 0, axis=1).astype(jnp.int32)
+    return fx, fy, fz, torx, tory, torz, tng_idx, tng_dem, tng_x, tng_y, tng_z, count
+
+
+def lvc_force(scene, nbrs: NeighborList, dt, kn: float, mu: float, en: float,
+              tng_idx, tng_dem, tng_fx, tng_fy, tng_fz):
+    """LVC with tangential-force springs (reference :296-505).  Scalar
+    material constants (kn, mu, en) as in ``LVCForce.__init__`` :300-309:
+    kt = 2/7 kn, alpha = 2 sqrt(kn) |ln en| / sqrt(pi^2 + ln^2 en)."""
+    kt = 2.0 / 7.0 * kn
+    log_en = jnp.log(en)
+    alpha = 2.0 * jnp.sqrt(kn) * jnp.abs(log_en) / jnp.sqrt(
+        jnp.pi**2 + log_en**2)
+
+    pd = pair_data(scene, nbrs)
+    j = pd.j
+    not_self = j != jnp.arange(scene.n)[:, None]
+    overlap = scene.rad_s[:, None] + scene.rad_s[j] - pd.rij
+    gate = pd.mask & not_self & (pd.rij > 0) & (overlap > 0)
+    rinv = 1.0 / jnp.maximum(pd.rij, 1e-300)
+    nx, ny, nz = pd.xij * rinv, pd.yij * rinv, pd.zij * rinv
+
+    a_i = scene.rad_s[:, None] - overlap / 2.0
+    a_j = scene.rad_s[j] - overlap / 2.0
+    wxi, wyi, wzi = scene.wx[:, None], scene.wy[:, None], scene.wz[:, None]
+    wxj, wyj, wzj = scene.wx[j], scene.wy[j], scene.wz[j]
+    vi_x = scene.u[:, None] + (wyi * nz - wzi * ny) * a_i
+    vi_y = scene.v[:, None] + (wzi * nx - wxi * nz) * a_i
+    vi_z = scene.w[:, None] + (wxi * ny - wyi * nx) * a_i
+    vj_x = scene.u[j] + (-wyj * nz + wzj * ny) * a_j
+    vj_y = scene.v[j] + (-wzj * nx + wxj * nz) * a_j
+    vj_z = scene.w[j] + (-wxj * ny + wyj * nx) * a_j
+    # NOTE reference sign: vr = v_j - v_i here (:353-357)
+    vr_x, vr_y, vr_z = vj_x - vi_x, vj_y - vi_y, vj_z - vi_z
+    vdotn = vr_x * nx + vr_y * ny + vr_z * nz
+    vt_x = vr_x - vdotn * nx
+    vt_y = vr_y - vdotn * ny
+    vt_z = vr_z - vdotn * nz
+
+    m_eff = scene.m[:, None] * scene.m[j] / (scene.m[:, None] + scene.m[j])
+    eta_n = alpha * jnp.sqrt(m_eff)
+    fn_x = -kn * overlap * nx - eta_n * vdotn * nx
+    fn_y = -kn * overlap * ny - eta_n * vdotn * ny
+    fn_z = -kn * overlap * nz - eta_n * vdotn * nz
+
+    dem_j = scene.dem_id[j]
+    found, slot_found = _match_slots(tng_idx, tng_dem, j, dem_j)
+    found &= gate
+    new_mask = gate & ~found
+    slot_new = _allocate_slots(tng_idx < 0, new_mask)
+    n = scene.n
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], j.shape)
+    sf = jnp.clip(slot_found, 0, tng_fx.shape[1] - 1)
+    # effective slot this pair writes to (found slot or fresh one)
+    eff = jnp.where(found, sf, jnp.where(slot_new >= 0, slot_new, -1))
+    live = eff >= 0
+
+    fx_s = jnp.where(found, tng_fx[rows, sf], 0.0) - kt * vt_x * dt
+    fy_s = jnp.where(found, tng_fy[rows, sf], 0.0) - kt * vt_y * dt
+    fz_s = jnp.where(found, tng_fz[rows, sf], 0.0) - kt * vt_z * dt
+
+    fn_magn = jnp.sqrt(fn_x**2 + fn_y**2 + fn_z**2)
+    ft_magn = jnp.sqrt(fx_s**2 + fy_s**2 + fz_s**2)
+    fn_mu = mu * fn_magn
+    slip = ft_magn >= fn_magn  # reference compares against fn_magn (:489)
+    inv = jnp.where(ft_magn > 0, 1.0 / jnp.maximum(ft_magn, 1e-300), 0.0)
+    fx_s = jnp.where(slip, fn_mu * fx_s * inv, fx_s)
+    fy_s = jnp.where(slip, fn_mu * fy_s * inv, fy_s)
+    fz_s = jnp.where(slip, fn_mu * fz_s * inv, fz_s)
+
+    def wb(tab, val):
+        return tab.at[rows, jnp.where(live, eff, tab.shape[1])].set(
+            jnp.where(live, val, 0.0), mode="drop")
+
+    tng_fx = wb(tng_fx, fx_s)
+    tng_fy = wb(tng_fy, fy_s)
+    tng_fz = wb(tng_fz, fz_s)
+    tng_idx = tng_idx.at[rows, jnp.where(slot_new >= 0, slot_new,
+                                         tng_idx.shape[1])].set(
+        j.astype(jnp.int32), mode="drop")
+    tng_dem = tng_dem.at[rows, jnp.where(slot_new >= 0, slot_new,
+                                         tng_dem.shape[1])].set(
+        dem_j.astype(jnp.int32), mode="drop")
+
+    gl = gate & live
+    gsum = lambda v: jnp.sum(jnp.where(gl, v, 0.0), axis=1)
+    fx = gsum(fn_x + fx_s)
+    fy = gsum(fn_y + fy_s)
+    fz = gsum(fn_z + fz_s)
+    torx = gsum((ny * fz_s - nz * fy_s) * a_i)
+    tory = gsum((nz * fx_s - nx * fz_s) * a_i)
+    torz = gsum((nx * fy_s - ny * fx_s) * a_i)
+    count = jnp.sum(tng_idx >= 0, axis=1).astype(jnp.int32)
+    return fx, fy, fz, torx, tory, torz, tng_idx, tng_dem, tng_fx, tng_fy, tng_fz, count

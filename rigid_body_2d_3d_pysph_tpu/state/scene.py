@@ -253,7 +253,7 @@ def build_scene(
     body_offset = 0
     cat: Dict[str, list] = {
         "x": [], "y": [], "z": [], "u": [], "v": [], "w": [],
-        "m": [], "h": [], "rho": [], "rad_s": [],
+        "m": [], "h": [], "rho": [], "rad_s": [], "p": [],
         "body_id": [], "dem_id": [], "group_id": [],
         "is_rigid": [], "is_static_boundary": [], "is_fluid": [],
     }
@@ -280,6 +280,7 @@ def build_scene(
         cat["h"].append(g.h)
         cat["rho"].append(g.rho)
         cat["rad_s"].append(g.rad_s)
+        cat["p"].append(g.extra.pop("p", np.zeros(n)))
 
         if g.role == ROLE_RIGID:
             local_bid = g.body_id if g.body_id is not None else np.zeros(n, idt)
