@@ -27,6 +27,7 @@ import numpy as np
 
 from ..models.rigid_body import make_multi_step
 from ..state.scene import Scene
+from . import checkpoint as ckpt_mod
 from . import output as out_mod
 
 
@@ -69,15 +70,24 @@ class Solver:
                 "neighbor capacity overflow — raise max_per_cell/"
                 "max_neighbors in the scheme's neighbor config")
 
-    def solve(self, quiet: bool = False):
+    def solve(self, quiet: bool = False, resume: bool = False):
         step = self.scheme.make_step(self.scene)
         n_steps = int(round(self.tf / self.dt))
         multi = make_multi_step(step, self.pfreq)
 
-        self._dump()
-        ev = list(self.events)
-        t_wall0 = time.time()
         done = 0
+        if resume:
+            cp = ckpt_mod.latest_checkpoint(self.output_dir)
+            if cp:
+                self.scene, self.t, done = ckpt_mod.load_checkpoint(
+                    cp, self.scene)
+                self.count = done
+                if not quiet:
+                    print(f"resumed from {cp} at step {done}", flush=True)
+        if done == 0:
+            self._dump()
+        ev = [e for e in self.events if int(round(e[0] / self.dt)) > done]
+        t_wall0 = time.time()
         while done < n_steps:
             # steps until next boundary: pfreq, an event, or the end
             n_next = min(self.pfreq, n_steps - done)
@@ -100,6 +110,9 @@ class Solver:
             if done % self.pfreq == 0 or done == n_steps:
                 self._check_overflow()
                 self._dump()
+                ckpt_mod.save_checkpoint(
+                    os.path.join(self.output_dir, "checkpoint.npz"),
+                    self.scene, self.t, done)
                 for cb in self.callbacks_post_chunk:
                     cb(self)
                 if not quiet:
@@ -171,6 +184,9 @@ class Application:
         p.add_argument("--timestep", type=float, default=None, dest="dt")
         p.add_argument("--pfreq", type=int, default=None)
         p.add_argument("--max-steps", type=int, default=None)
+        p.add_argument("--resume", action="store_true",
+                       help="continue from the last checkpoint in the "
+                            "output dir")
         p.add_argument("--quiet", action="store_true")
         p.add_argument("--openmp", action="store_true",
                        help="accepted for reference-CLI compatibility "
@@ -208,7 +224,8 @@ class Application:
             events=self.events,
         )
         t0 = time.time()
-        self.scene = self.solver.solve(quiet=self.options.quiet)
+        self.scene = self.solver.solve(quiet=self.options.quiet,
+                                       resume=self.options.resume)
         elapsed = time.time() - t0
         os.makedirs(self.output_dir, exist_ok=True)
         out_mod.write_info(

@@ -117,6 +117,7 @@ class _RigidBodySchemeBase(Scheme):
         self.fric_coeff = fric_coeff
         self.gx, self.gy, self.gz = gx, gy, gz
         self.kernel_name = "quintic"
+        self.integrator = "gtvf"  # or "rk2" (reference RK2RigidBody3DStep)
         self.dt = None
         self.tf = None
         self.pfreq = 100
@@ -168,6 +169,8 @@ class _RigidBodySchemeBase(Scheme):
         cfg = self._nbr_cfg
         params = dict(kr=self.kr, kf=self.kf, fric_coeff=self.fric_coeff,
                       gx=self.gx, gy=self.gy, gz=self.gz)
+        if getattr(self, "integrator", "gtvf") == "rk2":
+            return build_rigid_rk2_step(kernel, cfg, params, self.two_d)
         return build_rigid_gtvf_step(kernel, cfg, params, self.two_d)
 
 
@@ -317,6 +320,71 @@ def build_rigid_gtvf_step(kernel, cfg: nbmod.NeighborConfig, params: dict,
         scene = _particles_from_body_position(scene)
         scene = _body_half_kick(scene, dt, two_d)
         scene = _particles_from_body_velocity(scene)
+        return scene
+
+    return step
+
+
+def _rk2_body_stage(scene, frac_dt, two_d):
+    """RK2 predictor/corrector body update from the saved t=0 state
+    (reference ``RK2RigidBody3DStep.py_stage1/py_stage2``,
+    ``rigid_body_3d.py:424-463,502-538``): positions/velocities advance
+    from the *saved* state using current derivatives; R integrates from
+    R0 with the current omega.  NOTE: the reference's ``py_initialize``
+    saves ang_mom0 with a per-body indexing slip (:415, writes only
+    ``ang_mom0[0:3]``); we save it per body — the intended semantics."""
+    M = scene.total_mass[:, None]
+    if two_d:
+        vcm = scene.vcm0.at[:, :2].set(
+            scene.vcm0[:, :2] + frac_dt * scene.force[:, :2] / M)
+        xcm = scene.xcm0.at[:, :2].set(
+            scene.xcm0[:, :2] + frac_dt * scene.vcm[:, :2])
+    else:
+        vcm = scene.vcm0 + frac_dt * scene.force / M
+        xcm = scene.xcm0 + frac_dt * scene.vcm
+    Om = rops.omega_cross_matrix(scene.omega)
+    R = scene.R0 + frac_dt * jnp.einsum("bij,bjk->bik", Om, scene.R)
+    R = rops.gram_schmidt_columns(R)
+    out = dict(xcm=xcm, vcm=vcm, R=R)
+    if two_d:
+        izz = jnp.where(scene.izz > 0, scene.izz, 1.0)
+        out["omega"] = scene.omega0.at[:, 2].set(
+            scene.omega0[:, 2] + frac_dt * scene.torque[:, 2] / izz)
+    else:
+        Iinv = jnp.einsum("bij,bjk,blk->bil", R,
+                          scene.inertia_tensor_inverse_body_frame, R)
+        ang_mom = scene.ang_mom0 + frac_dt * scene.torque
+        out["inertia_tensor_inverse_global_frame"] = Iinv
+        out["ang_mom"] = ang_mom
+        out["omega"] = jnp.einsum("bij,bj->bi", Iinv, ang_mom)
+    return scene.replace(**out)
+
+
+def build_rigid_rk2_step(kernel, cfg: nbmod.NeighborConfig, params: dict,
+                         two_d: bool):
+    """Predict-evaluate-correct RK2 timestep (reference
+    ``RK2RigidBody3DStep`` wired through an EPEC-style sequence)."""
+
+    @jax.jit
+    def step(scene: Scene, dt):
+        scene = scene.replace(xcm0=scene.xcm, vcm0=scene.vcm,
+                              ang_mom0=scene.ang_mom, omega0=scene.omega,
+                              R0=scene.R)
+        # predictor: eval forces at t, advance half step
+        nbrs = nbmod.build_neighbors(scene.x, scene.y, scene.z,
+                                     scene.active, cfg)
+        scene = rigid_contact_force_eval(scene, nbrs, kernel, params, dt)
+        scene = _rk2_body_stage(scene, 0.5 * dt, two_d)
+        scene = _particles_from_body_position(scene)
+        scene = _particles_from_body_velocity(scene)
+        # corrector: re-eval at midpoint, advance full step from saved
+        nbrs = nbmod.build_neighbors(scene.x, scene.y, scene.z,
+                                     scene.active, cfg)
+        scene = rigid_contact_force_eval(scene, nbrs, kernel, params, dt)
+        scene = _rk2_body_stage(scene, dt, two_d)
+        scene = _particles_from_body_position(scene)
+        scene = _particles_from_body_velocity(scene)
+        scene = scene.replace(nbr_overflow=scene.nbr_overflow | nbrs.overflow)
         return scene
 
     return step

@@ -59,7 +59,8 @@ def mini():
         return cx, cy, cz, cw, dinfo
 
     cx, cy, cz, cw, dinfo = run(scene)
-    return scene, dx, kernel, nbrs, map(np.asarray, (cx, cy, cz, cw)), {
+    return scene, dx, kernel, nbrs, tuple(
+        np.asarray(a) for a in (cx, cy, cz, cw)), {
         k: np.asarray(v) for k, v in dinfo.items()}
 
 

@@ -36,7 +36,9 @@ def test_head_on_collision_momentum_and_restitution():
     multi = make_multi_step(step, 100)
     dt = jnp.asarray(1e-4)
     s = scene
-    for _ in range(10):  # t = 0.1: approach (0.05 to contact), collide, separate
+    # gap = 0.5 - 2r = 0.3, closing speed 2 -> contact at t = 0.15;
+    # run to t = 0.3 so the spheres collide and fully separate
+    for _ in range(30):
         s = multi(s, dt)
     u = np.asarray(s.u)
     x = np.asarray(s.x)
@@ -63,7 +65,7 @@ def test_oblique_collision_generates_spin_and_tracks_contact():
     dt = jnp.asarray(1e-4)
     s = scene
     max_contacts = 0
-    for _ in range(10):
+    for _ in range(30):
         s = multi(s, dt)
         max_contacts = max(max_contacts,
                            int(np.asarray(s.total_tng_contacts).max()))

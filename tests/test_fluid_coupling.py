@@ -1,0 +1,97 @@
+"""Rigid-fluid coupling scheme tests.
+
+1. Hydrostatic tank: fluid initialized with the hydrostatic pressure
+   profile must stay (nearly) at rest — the WCSPH+EDAC+Adami-BC pipeline
+   sanity check.
+2. A buoyant/heavy box in fluid must experience the correct direction of
+   net force (sinking-box physics smoke, reference
+   ``code/rigid_body_rotating_and_sinking_in_tank_2d.py``).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rigid_body_2d_3d_pysph_tpu import config
+from rigid_body_2d_3d_pysph_tpu.geom import get_2d_block, hydrostatic_tank_2d
+from rigid_body_2d_3d_pysph_tpu.models.rigid_body import make_multi_step
+from rigid_body_2d_3d_pysph_tpu.models.rigid_fluid_coupling import (
+    RigidFluidCouplingScheme,
+)
+from rigid_body_2d_3d_pysph_tpu.state import (
+    make_group, build_scene, ROLE_RIGID, ROLE_BOUNDARY, ROLE_FLUID,
+)
+
+
+def _tank_scene(with_body=False):
+    dx = 0.05
+    gy = -1.0
+    rho0 = 1.0
+    xf, yf, xt, yt = hydrostatic_tank_2d(1.0, 1.0, 1.4, 3, dx, dx)
+    p0 = -rho0 * gy * (yf.max() - yf)
+    m_f = rho0 * dx * dx
+    c0 = 10 * np.sqrt(2 * abs(gy) * 1.0)
+    groups = [
+        make_group("fluid", xf, yf, m=m_f, h=dx, rho=rho0, role=ROLE_FLUID,
+                   p=p0),
+        make_group("tank", xt, yt, m=m_f, h=dx, rho=rho0, rad_s=dx / 2,
+                   role=ROLE_BOUNDARY, dem_id=1),
+    ]
+    if with_body:
+        xb, yb = get_2d_block(dx, 0.2, 0.2)
+        xb += 0.5
+        yb += yf.max() - 0.05  # partially submerged at the surface
+        groups.append(make_group(
+            "body", xb, yb, m=2.0 * rho0 * dx * dx, h=dx, rho=2.0 * rho0,
+            rad_s=dx / 2, role=ROLE_RIGID,
+            body_id=np.zeros(len(xb), np.int32),
+            dem_id=np.zeros(len(xb), np.int32)))
+        # carve fluid under the body
+        # (keep it simple: remove fluid overlapping the body bbox)
+    scene = build_scene(groups, dim=2, total_no_bodies=2, spacing0=dx)
+    scheme = RigidFluidCouplingScheme(
+        rigid_bodies=["body"] if with_body else [],
+        fluids=["fluid"], boundaries=["tank"], dim=2, rho0=rho0,
+        p0=rho0 * c0**2, c0=c0, gy=gy, nu=0.0, h=dx)
+    scene = scheme.setup(scene)
+    return scheme, scene, dx, gy, rho0
+
+
+def test_hydrostatic_tank_stays_at_rest():
+    scheme, scene, dx, gy, rho0 = _tank_scene()
+    step = scheme.make_step(scene)
+    multi = make_multi_step(step, 50)
+    dt = jnp.asarray(1e-4)
+    s = multi(scene, dt)
+    s = multi(s, dt)
+    fl = np.asarray(s.is_fluid)
+    u = np.asarray(s.u)[fl]
+    v = np.asarray(s.v)[fl]
+    # hydrostatic equilibrium: velocities stay far below sqrt(g H) ~ 1
+    vmag = np.sqrt(u**2 + v**2)
+    assert np.isfinite(vmag).all()
+    assert vmag.max() < 0.15, vmag.max()
+    # density stays near rho0
+    rho = np.asarray(s.rho)[fl]
+    np.testing.assert_allclose(rho, rho0, rtol=0.05)
+    # pressure profile still increases with depth
+    y = np.asarray(s.y)[fl]
+    p = np.asarray(s.p)[fl]
+    deep = y < np.percentile(y, 20)
+    shallow = y > np.percentile(y, 80)
+    assert p[deep].mean() > p[shallow].mean()
+
+
+def test_heavy_body_sinks():
+    scheme, scene, dx, gy, rho0 = _tank_scene(with_body=True)
+    step = scheme.make_step(scene)
+    multi = make_multi_step(step, 50)
+    dt = jnp.asarray(1e-4)
+    y0 = float(np.asarray(scene.xcm)[0, 1])
+    s = multi(scene, dt)
+    for _ in range(3):
+        s = multi(s, dt)
+    y1 = float(np.asarray(s.xcm)[0, 1])
+    assert np.isfinite(np.asarray(s.u)).all()
+    # a rho=2 body in rho=1 fluid must move down
+    assert y1 < y0
