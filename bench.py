@@ -100,7 +100,11 @@ def measure(n_steps: int) -> dict:
 
 if __name__ == "__main__":
     if "--cpu-baseline" in sys.argv:
-        os.environ["JAX_PLATFORMS"] = "cpu"
+        # NOTE: env var alone is ignored by the axon plugin; force via
+        # the config API (see rigid_body_2d_3d_pysph_tpu.config).
+        os.environ["RB_TPU_PLATFORM"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
         r = measure(CPU_STEPS)
         print(json.dumps(r))
         sys.exit(0)
@@ -110,7 +114,7 @@ if __name__ == "__main__":
     # CPU baseline in a subprocess (same code, XLA CPU on all host cores)
     vs = None
     try:
-        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env = dict(os.environ, RB_TPU_PLATFORM="cpu")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
             capture_output=True, text=True, timeout=3600, env=env)

@@ -61,35 +61,34 @@ class ZhangStackOfCylinders(Application):
         self.dt = 5e-5
 
     def create_cylinders_stack(self):
-        """Rows of 6/5 cylinders x 3 (reference :300-367)."""
+        """Rows of 6/5 cylinders x 3, with the reference's exact stacking
+        arithmetic (``stack_of_cylinders.py:300-367``): 6-rows pitched
+        d + s/4, 5-rows pitched d + s/2 offset 0.78 d vertically and
+        -s/2 horizontally; each subsequent row shifted to clear the
+        previous row's top by one spacing."""
         d, s, r = (self.cylinder_diameter, self.cylinder_spacing,
                    self.cylinder_radius)
-        xc, yc = create_circle_1(d, s, [r, r + s / 2.0])
-        n_per = len(xc)
+        xc6, yc6 = create_circle_1(d, s, [r, r + s / 2.0])
+        xc5, yc5 = create_circle_1(d, s, [2.0 * r, r + 3.0 * s])
+        n_per = len(xc6)
 
-        def row(n, x0, y0, pitch):
-            xs, ys = [], []
-            for i in range(n):
-                xs.append(xc - xc.min() + xc.min() + x0 + i * pitch)
-                ys.append(yc + y0)
-            return xs, ys
+        x_six = np.concatenate([xc6 + i * (d + s / 4.0) for i in range(6)])
+        y_six = np.tile(yc6, 6)
+        x_five = np.concatenate(
+            [xc5 + i * (d + s / 2.0) for i in range(5)]) - s / 2.0
+        y_five = np.tile(yc5, 5) + 0.78 * d
 
-        rows = []
-        # three (6-row, 5-row) pairs stacked (same construction as the
-        # reference: 5-rows offset by 0.78 d and re-centered)
-        y6 = 0.0
-        for _ in range(3):
-            xs6, ys6 = row(6, 0.0, y6, d + s / 4.0)
-            rows.extend(zip(xs6, ys6))
-            y5 = y6 + 0.78 * d
-            xs5, ys5 = row(5, r - s / 2.0, y5 + s + 2.0 * s, d + s / 2.0)
-            rows.extend(zip(xs5, ys5))
-            ys5max = max(y.max() for y in ys5)
-            y6 = ys5max - yc.min() + s
-        x = np.concatenate([rx for rx, _ in rows])
-        y = np.concatenate([ry for _, ry in rows])
+        y_six_2 = y_six + (y_five.max() - y_six.min() + s)
+        y_five_2 = y_five + (y_six_2.max() - y_five.min() + s)
+        y_six_3 = y_six_2 + (y_five_2.max() - y_six_2.min() + s)
+        y_five_3 = y_five_2 + (y_six_3.max() - y_five_2.min() + s)
+
+        x = np.concatenate([x_six, x_five, x_six, x_five, x_six, x_five])
+        y = np.concatenate([y_six, y_five, y_six_2, y_five_2, y_six_3,
+                            y_five_3])
+        n_bodies = 3 * 6 + 3 * 5
         bid = np.concatenate([
-            np.full(n_per, i, np.int32) for i in range(len(rows))])
+            np.full(n_per, i, np.int32) for i in range(n_bodies)])
         return x, y, bid, n_per
 
     def create_particles(self):

@@ -25,6 +25,12 @@ import jax.numpy as jnp
 # benchmarks, case scripts) shares one on-disk cache.  Override with
 # RB_TPU_CACHE_DIR; disable with RB_TPU_CACHE_DIR="".
 # ---------------------------------------------------------------------------
+# Platform override: the axon TPU plugin ignores JAX_PLATFORMS, so we
+# honor RB_TPU_PLATFORM (e.g. "cpu") via the config API, which works.
+_platform = os.environ.get("RB_TPU_PLATFORM")
+if _platform:
+    jax.config.update("jax_platforms", _platform)
+
 _cache_dir = os.environ.get(
     "RB_TPU_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

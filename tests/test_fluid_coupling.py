@@ -40,20 +40,37 @@ def _tank_scene(with_body=False):
     if with_body:
         xb, yb = get_2d_block(dx, 0.2, 0.2)
         xb += 0.5
-        yb += yf.max() - 0.05  # partially submerged at the surface
+        yb += yf.max() - yb.min() - 0.1  # partially submerged
+        # carve the fluid void under the body (reference
+        # rigid_body_...sinking...py:140-155)
+        fac = 1.0 * dx
+        keep = ~((xf > xb.min() - fac) & (xf < xb.max() + fac)
+                 & (yf > yb.min() - fac) & (yf < yb.max() + fac))
+        xf2, yf2, p2 = xf[keep], yf[keep], p0[keep]
+        groups[0] = make_group("fluid", xf2, yf2, m=m_f, h=dx, rho=rho0,
+                               role=ROLE_FLUID, p=p2)
         groups.append(make_group(
             "body", xb, yb, m=2.0 * rho0 * dx * dx, h=dx, rho=2.0 * rho0,
             rad_s=dx / 2, role=ROLE_RIGID,
             body_id=np.zeros(len(xb), np.int32),
             dem_id=np.zeros(len(xb), np.int32)))
-        # carve fluid under the body
-        # (keep it simple: remove fluid overlapping the body bbox)
     scene = build_scene(groups, dim=2, total_no_bodies=2, spacing0=dx)
     scheme = RigidFluidCouplingScheme(
         rigid_bodies=["body"] if with_body else [],
         fluids=["fluid"], boundaries=["tank"], dim=2, rho0=rho0,
         p0=rho0 * c0**2, c0=c0, gy=gy, nu=0.0, h=dx)
     scene = scheme.setup(scene)
+    if with_body:
+        # displaced-fluid shadow fields (reference :158-159) — without
+        # these the FSI force divides by rho_fsi = 0
+        g = scene.meta.group("body")
+        m_fsi = np.asarray(scene.m_fsi).copy()
+        rho_fsi = np.asarray(scene.rho_fsi).copy()
+        m_fsi[g.start:g.stop] = rho0 * dx * dx
+        rho_fsi[g.start:g.stop] = rho0
+        scene = scene.replace(
+            m_fsi=jnp.asarray(m_fsi, config.float_dtype()),
+            rho_fsi=jnp.asarray(rho_fsi, config.float_dtype()))
     return scheme, scene, dx, gy, rho0
 
 

@@ -1,0 +1,169 @@
+"""Physics-validation harness over case outputs.
+
+Turns each reference benchmark's implicit physical invariant (SURVEY.md
+§4) into an automated assertion over the npz snapshots produced by
+``run_suite.py``:
+
+* benchmark_1 — kinetic-energy drift < 1e-4 (free body), straight COM.
+* benchmark_2 — momentum ~ 0, symmetric rebound.
+* benchmark_3 — bodies settle inside the tank (bounded COM, v -> small).
+* benchmark_4 — rebound height ordering vs coefficient of restitution.
+* benchmark_5 — stacks stay static: COM displacement < 2 particle
+  spacings over the run.
+* stack_of_cylinders — COM trajectory vs the digitized Zhang curves
+  (x/L, y/L RMS deviation).
+
+Usage: python validate.py [case ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+from rigid_body_2d_3d_pysph_tpu.app import output as out_mod  # noqa: E402
+
+
+def _files(case):
+    return out_mod.get_files(os.path.join(HERE, f"{case}_output"))
+
+
+def check_benchmark_1():
+    files = _files("benchmark_1")
+    if not files:
+        return None
+    ke, xs, ys, ts = [], [], [], []
+    for sd, body in out_mod.iter_output(files, "body"):
+        ts.append(float(sd["t"]))
+        ke.append(0.5 * np.sum(body.m * (body.u**2 + body.v**2)))
+        xs.append(body.xcm[0])
+        ys.append(body.xcm[1])
+    ke = np.asarray(ke)
+    drift = abs(ke[-1] - ke[0]) / ke[0]
+    # straight line COM: x == y == 0.5 t
+    ts = np.asarray(ts)
+    com_err = max(np.abs(np.asarray(xs) - 0.5 * ts).max(),
+                  np.abs(np.asarray(ys) - 0.5 * ts).max())
+    ok = drift < 1e-4 and com_err < 1e-3
+    return dict(ok=bool(ok), ke_drift=float(drift), com_err=float(com_err))
+
+
+def check_benchmark_2(case="benchmark_2"):
+    files = _files(case)
+    if not files:
+        return None
+    sd, _ = out_mod.load(files[-1]), None
+    sd, groups = out_mod.load(files[-1])
+    if "body1" in groups:
+        v1 = groups["body1"].vcm_mat[0]
+        v2 = groups["body2"].vcm_mat[0]
+    else:
+        v = groups["body"].vcm_mat
+        v1, v2 = v[0], v[1]
+    mom = v1 + v2
+    ok = (np.abs(mom).max() < 1e-6 and v1[0] < -0.05 and v2[0] > 0.05)
+    return dict(ok=bool(ok), momentum=[float(m) for m in mom],
+                v1x=float(v1[0]), v2x=float(v2[0]))
+
+
+def check_benchmark_3():
+    files = _files("benchmark_3")
+    if not files:
+        return None
+    sd, groups = out_mod.load(files[-1])
+    body = groups["body"]
+    xcm = body.xcm_mat
+    vcm = body.vcm_mat
+    # settled inside the tank: y in [0, 0.5], speeds decayed
+    ok = (xcm[:, 1] > -0.1).all() and (xcm[:, 1] < 0.6).all() and (
+        np.abs(vcm).max() < 0.5)
+    return dict(ok=bool(ok), y=[float(v) for v in xcm[:, 1]],
+                vmax=float(np.abs(vcm).max()))
+
+
+def check_benchmark_4():
+    out = {}
+    heights = {}
+    for en in ("1.0", "0.5"):
+        files = _files(f"benchmark_4_en_{en}")
+        if not files:
+            return None
+        ys = []
+        for sd, body in out_mod.iter_output(files, "body"):
+            ys.append(body.xcm_mat[:, 1].mean())
+        ys = np.asarray(ys)
+        # rebound height after the first floor hit
+        i_min = int(np.argmin(ys))
+        heights[en] = float(ys[i_min:].max() - ys[i_min])
+    out["rebound"] = heights
+    out["ok"] = heights["1.0"] > heights["0.5"] - 1e-6
+    return out
+
+
+def check_benchmark_5(case="benchmark_5_2d_two", tol_spacings=2.0,
+                      spacing=0.025):
+    files = _files(case)
+    if not files:
+        return None
+    sd0, g0 = out_mod.load(files[0])
+    sd1, g1 = out_mod.load(files[-1])
+    d = np.abs(g1["body"].xcm_mat - g0["body"].xcm_mat).max()
+    ok = d < tol_spacings * spacing
+    return dict(ok=bool(ok), max_com_displacement=float(d))
+
+
+def check_stack_of_cylinders():
+    res_path = os.path.join(HERE, "stack_of_cylinders_output", "results.npz")
+    if not os.path.exists(res_path):
+        return None
+    r = np.load(res_path)
+    t, x = r["t"], r["x_com"]
+    zt, zx = r["zhang_t_x"], r["zhang_x"]
+    zy_t, zy = r["zhang_t_y"], r["zhang_y"]
+    y = r["y_com"]
+    xi = np.interp(zt, t, x)
+    yi = np.interp(zy_t, t, y)
+    rms_x = float(np.sqrt(np.mean((xi - zx) ** 2)))
+    rms_y = float(np.sqrt(np.mean((yi - zy) ** 2)))
+    # the reference's own plots deviate visibly from the experiment; a
+    # loose envelope documents the comparison
+    return dict(ok=bool(rms_x < 0.15 and rms_y < 0.15),
+                rms_x=rms_x, rms_y=rms_y)
+
+
+CHECKS = {
+    "benchmark_1": check_benchmark_1,
+    "benchmark_2": check_benchmark_2,
+    "benchmark_2_same_array": lambda: check_benchmark_2(
+        "benchmark_2_same_array"),
+    "benchmark_3": check_benchmark_3,
+    "benchmark_4": check_benchmark_4,
+    "benchmark_5_2d_two": lambda: check_benchmark_5("benchmark_5_2d_two"),
+    "benchmark_5_2d_three": lambda: check_benchmark_5("benchmark_5_2d_three"),
+    "benchmark_5_3d_one": lambda: check_benchmark_5("benchmark_5_3d_one",
+                                                    spacing=0.05),
+    "stack_of_cylinders": check_stack_of_cylinders,
+}
+
+
+def main(argv):
+    names = argv or list(CHECKS)
+    results = {}
+    for n in names:
+        try:
+            results[n] = CHECKS[n]()
+        except Exception as e:  # surface, don't mask
+            results[n] = dict(ok=False, error=repr(e))
+    print(json.dumps(results, indent=2))
+    bad = [n for n, r in results.items() if r is not None and not r["ok"]]
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
