@@ -39,9 +39,10 @@ def build_scene():
         make_group, build_scene, ROLE_RIGID, ROLE_BOUNDARY,
     )
 
-    # 8 large bodies (~12k particles each) falling into a tank
+    # 8 large bodies falling into a tank; body size derived from the
+    # particle target
     n_bodies = 8
-    side = 110  # 110x110 = 12100 particles per body
+    side = max(int(np.sqrt(max(N_TARGET, 1000) / n_bodies)), 12)
     dx = 0.2 / (side - 1)
     xb1, yb1 = get_2d_block(dx, 0.2, 0.2)
     xs, ys, bid = [], [], []

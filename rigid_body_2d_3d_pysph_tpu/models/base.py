@@ -54,7 +54,7 @@ class Scheme:
     def setup(self, scene: Scene, **kw) -> Scene:
         raise NotImplementedError
 
-    def make_step(self):
+    def make_step(self, scene: Scene):
         raise NotImplementedError
 
     # -- shared helpers ---------------------------------------------------
@@ -90,12 +90,38 @@ class SchemeChooser(Scheme):
         group.add_argument("--scheme", default=self.default,
                            choices=sorted(self.schemes.keys()),
                            help="Scheme to use")
+
+        class _Dedup:
+            """Schemes often share option names (e.g. --kr-stiffness in
+            both rb2d and rb3d); add each flag once."""
+
+            def __init__(self, g):
+                self._g = g
+                self._seen = set()
+
+            def add_argument(self, *a, **kw):
+                if a and a[0] in self._seen:
+                    return None
+                self._seen.add(a[0] if a else None)
+                return self._g.add_argument(*a, **kw)
+
+        dg = _Dedup(group)
         for s in self.schemes.values():
-            s.add_user_options(group)
+            s.add_user_options(dg)
 
     def consume_user_options(self, options) -> None:
         self.select(getattr(options, "scheme", None))
         self.scheme.consume_user_options(options)
+
+    # explicit delegation of the solver-facing surface
+    def setup(self, scene, **kw):
+        return self.scheme.setup(scene, **kw)
+
+    def make_step(self, scene):
+        return self.scheme.make_step(scene)
+
+    def configure_solver(self, dt, tf, pfreq=100, **kw):
+        self.scheme.configure_solver(dt, tf, pfreq, **kw)
 
     def __getattr__(self, k):
         # delegate everything else to the active scheme
