@@ -36,7 +36,8 @@ import jax.numpy as jnp
 
 from .kernels import Kernel
 from .neighbors import NeighborList
-from .pairs import pair_data, scatter_to_slots, scatter_min_to_slots
+from .pairs import (pair_data, scatter_to_slots, scatter_min_to_slots,
+                    argmin_to_slots)
 
 
 def _contact_gate(scene, pd):
@@ -110,17 +111,13 @@ def contact_force_distance(scene, nbrs: NeighborList, kernel: Kernel,
     has = w_sum > 1e-12
     dist = jnp.where(has, dist_tmp / jnp.where(has, w_sum, 1.0), 0.0)
 
-    # closest source particle per slot (strict < init, ties -> lowest j,
-    # reference :811-818)
-    min_d = scatter_min_to_slots(pd.rij, slot, gate, S, init_dist)
-    min_d_pair = min_d[rows, slot]
-    is_arg = gate & (pd.rij == min_d_pair) & (pd.rij < init_dist)
-    big = jnp.int32(2**30)
-    arg_j = scatter_min_to_slots(
-        jnp.where(is_arg, j, big).astype(jnp.int32), slot, is_arg, S, big
-    )
-    found = arg_j < big
-    src = jnp.clip(arg_j, 0, scene.n - 1)
+    # closest source particle per slot (strict < init; ties resolve to
+    # the first candidate in neighbor order, matching the reference's
+    # sequential scan :811-818)
+    min_d, arg_k, found = argmin_to_slots(pd.rij, slot, gate, S, init_dist)
+    src = jnp.take_along_axis(j, jnp.clip(arg_k, 0, j.shape[1] - 1),
+                              axis=1)  # [N, S]
+    src = jnp.clip(src, 0, scene.n - 1)
 
     def pick(field):
         return jnp.where(found, field[src], 0.0)

@@ -48,11 +48,16 @@ class NeighborList(NamedTuple):
 @dataclass(frozen=True)
 class NeighborConfig:
     cutoff: float  # interaction radius == cell size
-    max_neighbors: int  # K
+    max_neighbors: int  # K (compact mode only)
     max_per_cell: int  # M: candidate cap per stencil cell
     dim: int = 3
     n_buckets: int = 1 << 16  # power of two
     row_chunk: int = 4096  # rows processed per map step (memory bound)
+    # compact=True packs candidates into [N, K] via a positional
+    # scatter — good on CPU, but XLA scatters serialize on TPU, so the
+    # default keeps the padded [N, stencil*M] candidate list and lets the
+    # (fully vectorized) pair ops mask it instead.
+    compact: bool = False
 
     @property
     def stencil(self):
@@ -171,11 +176,14 @@ def build_neighbors(x, y, z, active, cfg: NeighborConfig) -> NeighborList:
             & bact[:, None, None]
         )
 
-        # compact [C, O*M] -> [C, K]
         ok_f = ok.reshape(cfg.row_chunk, n_off * M)
-        cand_f = cand.reshape(cfg.row_chunk, n_off * M)
+        cand_f = cand.reshape(cfg.row_chunk, n_off * M).astype(jnp.int32)
+        count = jnp.sum(ok_f, axis=1).astype(jnp.int32)
+        if not cfg.compact:
+            return cand_f, ok_f, count, cell_overflow
+
+        # compact [C, O*M] -> [C, K] (positional scatter; CPU path)
         pos_in_row = jnp.cumsum(ok_f.astype(jnp.int32), axis=1) - 1
-        count = pos_in_row[:, -1] + 1
         k_overflow = jnp.any(count > K)
         write = ok_f & (pos_in_row < K)
         dst = jnp.where(write, pos_in_row, K)  # K = scratch slot
@@ -184,17 +192,22 @@ def build_neighbors(x, y, z, active, cfg: NeighborConfig) -> NeighborList:
         )
         out_idx = jnp.zeros((cfg.row_chunk, K + 1), jnp.int32).at[
             rows, dst
-        ].set(cand_f.astype(jnp.int32), mode="drop")[:, :K]
+        ].set(cand_f, mode="drop")[:, :K]
         out_mask = jnp.zeros((cfg.row_chunk, K + 1), bool).at[rows, dst].set(
             write, mode="drop"
         )[:, :K]
         return out_idx, out_mask, jnp.minimum(count, K), cell_overflow | k_overflow
 
     n_blocks = -(-n // cfg.row_chunk)
+    k_out = K if cfg.compact else n_off * M
+    if n_blocks == 1:
+        idx, mask, cnt, ovf = row_block(jnp.int32(0))
+        return NeighborList(idx=idx[:n], mask=mask[:n], n_neighbors=cnt[:n],
+                            overflow=ovf)
     starts = jnp.arange(n_blocks) * cfg.row_chunk
     idx_b, mask_b, cnt_b, ovf_b = jax.lax.map(row_block, starts)
-    idx = idx_b.reshape(n_blocks * cfg.row_chunk, K)[:n]
-    mask = mask_b.reshape(n_blocks * cfg.row_chunk, K)[:n]
+    idx = idx_b.reshape(n_blocks * cfg.row_chunk, k_out)[:n]
+    mask = mask_b.reshape(n_blocks * cfg.row_chunk, k_out)[:n]
     cnt = cnt_b.reshape(n_blocks * cfg.row_chunk)[:n]
     return NeighborList(idx=idx, mask=mask, n_neighbors=cnt,
                         overflow=jnp.any(ovf_b))

@@ -47,23 +47,44 @@ def scatter_to_slots(values, slot, mask, n_slots: int):
     Implements the reference's strided accumulation
     ``d_prop[d_idx * total_no_bodies + s_dem_id] += v``
     (e.g. ``code/rigid_body_common.py:681-690``).
+
+    TPU note: XLA scatter-adds serialize on TPU; since S (the dem entity
+    count) is small and static, this is computed as S dense masked
+    reductions over K — pure VPU work that XLA fuses, no scatters.
     """
-    n, k = values.shape
-    dst = jnp.where(mask, slot, n_slots)  # out-of-range rows dropped
-    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k))
-    out = jnp.zeros((n, n_slots + 1), values.dtype)
-    out = out.at[rows, dst].add(jnp.where(mask, values, 0.0), mode="drop")
-    return out[:, :n_slots]
+    vals = jnp.where(mask, values, 0.0)
+    cols = [jnp.sum(jnp.where(slot == s, vals, 0.0), axis=1)
+            for s in range(n_slots)]
+    return jnp.stack(cols, axis=1)
 
 
 def scatter_min_to_slots(values, slot, mask, n_slots: int, init):
     """Per-(particle, slot) minimum of [N, K] pair values; `init` is the
     starting value (reference inits closest-point distance to
-    ``4 * spacing0``, ``code/rigid_body_common.py:765``)."""
-    n, k = values.shape
-    dst = jnp.where(mask, slot, n_slots)
-    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k))
+    ``4 * spacing0``, ``code/rigid_body_common.py:765``).  Dense per-slot
+    min-reductions (see scatter_to_slots TPU note)."""
     big = jnp.asarray(init, values.dtype)
-    out = jnp.full((n, n_slots + 1), big, values.dtype)
-    out = out.at[rows, dst].min(jnp.where(mask, values, big), mode="drop")
-    return out[:, :n_slots]
+    vals = jnp.where(mask, values, big)
+    cols = [jnp.minimum(jnp.min(jnp.where(slot == s, vals, big), axis=1),
+                        big)
+            for s in range(n_slots)]
+    return jnp.stack(cols, axis=1)
+
+
+def argmin_to_slots(values, slot, mask, n_slots: int, init):
+    """Per-(particle, slot): (min value, candidate position k of the
+    first minimum, found flag).  Used for the closest-source-particle
+    tracking (reference ``rigid_body_common.py:811-818``; ties resolve
+    to the first candidate in neighbor order, like the reference's
+    sequential scan)."""
+    big = jnp.asarray(init, values.dtype)
+    vals = jnp.where(mask, values, big)
+    mins, args, founds = [], [], []
+    for s in range(n_slots):
+        v = jnp.where(slot == s, vals, big)
+        k_star = jnp.argmin(v, axis=1)
+        v_star = jnp.take_along_axis(v, k_star[:, None], axis=1)[:, 0]
+        mins.append(jnp.minimum(v_star, big))
+        args.append(k_star)
+        founds.append(v_star < big)
+    return (jnp.stack(mins, 1), jnp.stack(args, 1), jnp.stack(founds, 1))

@@ -51,10 +51,14 @@ def sum_up_external_forces(scene, fx, fy, fz):
     ty = dz * fx - dx * fz
     tz = dx * fy - dy * fx
 
-    seg = lambda v: jax.ops.segment_sum(v, bid, num_segments=nb)
-    force = jnp.stack([seg(fx), seg(fy), seg(fz)], axis=-1)
-    torque = jnp.stack([seg(tx), seg(ty), seg(tz)], axis=-1)
-    return force, torque
+    # TPU note: a segment_sum lowers to a serializing scatter-add; with
+    # few bodies a one-hot contraction runs on the MXU instead.
+    oh = ((bid[:, None] == jnp.arange(nb)[None, :]) & rigid[:, None]
+          ).astype(fx.dtype)  # [N, B]
+    vec = jnp.stack([fx, fy, fz, tx, ty, tz], axis=-1)  # [N, 6]
+    tot = jnp.einsum("nb,nc->bc", oh, vec,
+                     preferred_element_type=vec.dtype)
+    return tot[:, :3], tot[:, 3:]
 
 
 def gram_schmidt_columns(R):
