@@ -33,7 +33,9 @@ import numpy as np
 
 from .. import config
 from ..ops import boundary as bops
+from ..ops import cellpairs as cellmod
 from ..ops import contact as cops
+from ..ops import contact_cell as ccops
 from ..ops import rigid as rops
 from ..ops import neighbors as nbmod
 from ..ops.kernels import get_kernel
@@ -118,10 +120,14 @@ class _RigidBodySchemeBase(Scheme):
         self.gx, self.gy, self.gz = gx, gy, gz
         self.kernel_name = "quintic"
         self.integrator = "gtvf"  # or "rk2" (reference RK2RigidBody3DStep)
+        # "cell": dense cell-block engine (TPU-fast, bounded domain);
+        # "nklist": padded [N,K] neighbor lists (unbounded domains/tests)
+        self.engine = "cell"
         self.dt = None
         self.tf = None
         self.pfreq = 100
         self._nbr_cfg: Optional[nbmod.NeighborConfig] = None
+        self._cell_cfg: Optional[cellmod.CellGridConfig] = None
 
     # CLI parity with reference (:609-631)
     def add_user_options(self, group):
@@ -161,17 +167,32 @@ class _RigidBodySchemeBase(Scheme):
     def set_angular_velocity(self, scene, omega):
         return rigid_setup.set_angular_velocity(scene, omega)
 
+    def cell_config(self, scene: Scene, kernel) -> cellmod.CellGridConfig:
+        if self._cell_cfg is None:
+            cutoff = float(kernel.radius_scale * np.asarray(scene.h).max())
+            self._cell_cfg = cellmod.config_from_positions(
+                np.asarray(scene.x), np.asarray(scene.y),
+                np.asarray(scene.z), cutoff, self.dim)
+        return self._cell_cfg
+
     # -- the fused step ---------------------------------------------------
     def make_step(self, scene: Scene):
         kernel = get_kernel(self.kernel_name, self.dim)
-        if self._nbr_cfg is None:
-            self._nbr_cfg = self.neighbor_config(scene, kernel.radius_scale)
-        cfg = self._nbr_cfg
         params = dict(kr=self.kr, kf=self.kf, fric_coeff=self.fric_coeff,
                       gx=self.gx, gy=self.gy, gz=self.gz)
         if getattr(self, "integrator", "gtvf") == "rk2":
-            return build_rigid_rk2_step(kernel, cfg, params, self.two_d)
-        return build_rigid_gtvf_step(kernel, cfg, params, self.two_d)
+            if self._nbr_cfg is None:
+                self._nbr_cfg = self.neighbor_config(scene,
+                                                     kernel.radius_scale)
+            return build_rigid_rk2_step(kernel, self._nbr_cfg, params,
+                                        self.two_d)
+        if self.engine == "cell":
+            return build_rigid_gtvf_step_cell(
+                kernel, self.cell_config(scene, kernel), params, self.two_d)
+        if self._nbr_cfg is None:
+            self._nbr_cfg = self.neighbor_config(scene, kernel.radius_scale)
+        return build_rigid_gtvf_step(kernel, self._nbr_cfg, params,
+                                     self.two_d)
 
 
 class RigidBody3DScheme(_RigidBodySchemeBase):
@@ -296,6 +317,60 @@ def rigid_contact_force_eval(scene, nbrs, kernel, params, dt,
         **slots,
     )
     return scene
+
+
+def rigid_contact_force_eval_cell(scene, grid, cell_cfg, kernel, params, dt,
+                                  extra_fx=None):
+    """Stage-2 equation groups on the dense cell engine (same sequence as
+    :func:`rigid_contact_force_eval`)."""
+    cfn_x, cfn_y, cfn_z, cfn_w, dinfo = ccops.contact_pipeline_cell(
+        scene, grid, cell_cfg, kernel)
+    fx, fy, fz = rops.body_force(scene, params["gx"], params["gy"],
+                                 params["gz"], scene.is_rigid)
+    dfx, dfy, dfz, slots = cops.contact_force(
+        scene, dt, params["kr"], params["kf"], params["fric_coeff"],
+        cfn_x, cfn_y, cfn_z, dinfo,
+        scene.delta_lt_x, scene.delta_lt_y, scene.delta_lt_z,
+        scene.fn_x, scene.fn_y, scene.fn_z)
+    fx, fy, fz = fx + dfx, fy + dfy, fz + dfz
+    if extra_fx is not None:
+        efx, efy, efz = extra_fx
+        fx, fy, fz = fx + efx, fy + efy, fz + efz
+    force, torque = rops.sum_up_external_forces(scene, fx, fy, fz)
+    return scene.replace(
+        fx=fx, fy=fy, fz=fz, force=force, torque=torque,
+        contact_force_normal_x=cfn_x, contact_force_normal_y=cfn_y,
+        contact_force_normal_z=cfn_z, contact_force_normal_wij=cfn_w,
+        contact_force_dist=dinfo["contact_force_dist"],
+        closest_point_dist_to_source=dinfo["closest_point_dist_to_source"],
+        x_source=dinfo["x_source"], y_source=dinfo["y_source"],
+        z_source=dinfo["z_source"], vx_source=dinfo["vx_source"],
+        vy_source=dinfo["vy_source"], vz_source=dinfo["vz_source"],
+        **slots,
+    )
+
+
+def build_rigid_gtvf_step_cell(kernel, cell_cfg, params: dict, two_d: bool):
+    """GTVF timestep on the dense cell engine (the TPU production path)."""
+
+    @jax.jit
+    def step(scene: Scene, dt):
+        scene = _body_half_kick(scene, dt, two_d)
+        scene = _particles_from_body_velocity(scene)
+
+        grid = cellmod.build_cell_grid(scene.x, scene.y, scene.z,
+                                       scene.active, cell_cfg)
+        scene = rigid_contact_force_eval_cell(scene, grid, cell_cfg, kernel,
+                                              params, dt)
+        scene = scene.replace(nbr_overflow=scene.nbr_overflow | grid.overflow)
+
+        scene = _body_drift(scene, dt, two_d)
+        scene = _particles_from_body_position(scene)
+        scene = _body_half_kick(scene, dt, two_d)
+        scene = _particles_from_body_velocity(scene)
+        return scene
+
+    return step
 
 
 def build_rigid_gtvf_step(kernel, cfg: nbmod.NeighborConfig, params: dict,

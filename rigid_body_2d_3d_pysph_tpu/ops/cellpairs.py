@@ -1,0 +1,267 @@
+"""Dense cell-block pair engine — the TPU-fast neighbor path.
+
+Motivation (measured on TPU v5e): XLA per-element gathers cost ~7
+cycles/element, so the padded ``[N, K]`` neighbor-list formulation (one
+gather per source field per pair) runs ~100x off roofline.  Row-wise
+gathers (contiguous slices) are ~20x faster per element, and dense VPU
+math is essentially free.  This engine restructures every pair
+interaction accordingly:
+
+1. particles are binned into a *bounded* grid (origin/dims fixed at
+   setup from the initial AABB + slack), sorted by cell, and packed into
+   a dense ``[NC_max, M, F]`` layout (cells padded to M lanes; empty
+   lanes point at a sentinel row),
+2. each occupied cell records its 9/27 neighbor cells' dense slots via a
+   direct cell->slot table (no hashing, no binary search),
+3. a pair pass processes cells in chunks: query block ``[C, M, F]``
+   (slice), source block ``[C, O, M, F]`` (row gather), then all pair
+   quantities as dense ``[C, M, O*M]`` arithmetic,
+4. per-particle results return to original order through one small
+   ``[N]`` gather.
+
+The only remaining per-element operations are O(N) (sort keys, the
+dense-slot scatter, the final unpack) — negligible next to the O(N*K)
+pair work, which is now fully vectorized.
+
+This engine powers the production step; the ``neighbors.py`` [N, K] path
+remains for unbounded domains, tests, and the CPU oracle comparisons.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class CellGridConfig:
+    cell: float                  # cell size == interaction cutoff
+    M: int                       # max particles per cell (padded lanes)
+    NC_max: int                  # max occupied cells (static)
+    origin: tuple                # grid AABB min corner (3,)
+    dims: tuple                  # cells per axis (3,), z=1 in 2D
+    dim: int = 2
+    cell_chunk: int = 512        # cells processed per map step
+
+    @property
+    def stencil(self):
+        r = (-1, 0, 1)
+        if self.dim == 2:
+            return tuple((dx, dy, 0) for dx in r for dy in r)
+        return tuple((dx, dy, dz) for dx in r for dy in r for dz in r)
+
+    @property
+    def n_cells_total(self) -> int:
+        return int(np.prod(self.dims))
+
+
+def config_from_positions(x, y, z, cutoff: float, dim: int,
+                          slack: float = 0.75, M: int | None = None,
+                          nc_factor: float = 1.6,
+                          cell_chunk: int = 512) -> CellGridConfig:
+    """Host-side: bound the domain from initial positions with ``slack``
+    x extent margins; size M from measured occupancy and NC_max from the
+    occupied-cell count."""
+    x = np.asarray(x); y = np.asarray(y); z = np.asarray(z)
+    pts = [x, y] + ([z] if dim == 3 else [])
+    lo = np.array([p.min() for p in pts])
+    hi = np.array([p.max() for p in pts])
+    ext = np.maximum(hi - lo, cutoff)
+    lo = lo - slack * ext - 2 * cutoff
+    hi = hi + slack * ext + 2 * cutoff
+    dims = [int(np.ceil((hi[i] - lo[i]) / cutoff)) + 1 for i in range(len(lo))]
+    if dim == 2:
+        origin = (float(lo[0]), float(lo[1]), 0.0)
+        dims = (dims[0], dims[1], 1)
+    else:
+        origin = (float(lo[0]), float(lo[1]), float(lo[2]))
+        dims = (dims[0], dims[1], dims[2])
+
+    cells = np.floor((np.stack([x, y, z], -1)
+                      - np.array(origin)) / cutoff).astype(np.int64)
+    if dim == 2:
+        cells[:, 2] = 0
+    _, counts = np.unique(cells, axis=0, return_counts=True)
+    occ = counts.max()
+    if M is None:
+        M = int(np.ceil(occ * 1.5)) + 2
+        M = max(8, -(-M // 8) * 8)  # multiples of 8 lanes
+    nc = len(counts)
+    NC_max = max(64, int(np.ceil(nc * nc_factor)))
+    return CellGridConfig(cell=float(cutoff), M=int(M), NC_max=NC_max,
+                          origin=origin, dims=dims, dim=dim,
+                          cell_chunk=cell_chunk)
+
+
+class CellGrid(NamedTuple):
+    slot2p: jax.Array     # [NC_max * M] original particle index; N = empty
+    dense_pos: jax.Array  # [N] dense slot of particle i; NC_max*M = dropped
+    nbr_slots: jax.Array  # [NC_max, O] neighbor cell slot; NC_max = none
+    n_occupied: jax.Array  # scalar int32
+    overflow: jax.Array   # scalar bool
+
+
+def build_cell_grid(x, y, z, active, cfg: CellGridConfig) -> CellGrid:
+    n = x.shape[0]
+    inv = 1.0 / cfg.cell
+    ox, oy, oz = cfg.origin
+    gx, gy, gz = cfg.dims
+    cx = jnp.floor((x - ox) * inv).astype(jnp.int32)
+    cy = jnp.floor((y - oy) * inv).astype(jnp.int32)
+    cz = (jnp.floor((z - oz) * inv).astype(jnp.int32)
+          if cfg.dim == 3 else jnp.zeros_like(cx))
+    in_dom = ((cx >= 1) & (cx < gx - 1) & (cy >= 1) & (cy < gy - 1)
+              & (cz >= (1 if cfg.dim == 3 else 0))
+              & (cz < (gz - 1 if cfg.dim == 3 else 1)))
+    dom_overflow = jnp.any(active & ~in_dom)
+    ok = active & in_dom
+
+    G = cfg.n_cells_total
+    cid = (cx + gx * (cy + gy * cz)).astype(jnp.int32)
+    key = jnp.where(ok, cid, jnp.int32(G))  # inactive sort to the end
+
+    order = jnp.argsort(key)           # sorted particle ids (original idx)
+    ks = key[order]
+    valid_s = ks < G
+
+    head = valid_s & jnp.concatenate(
+        [jnp.ones(1, bool), ks[1:] != ks[:-1]])
+    cslot = jnp.cumsum(head.astype(jnp.int32)) - 1        # [N] sorted order
+    n_occ = jnp.where(jnp.any(valid_s), cslot[-1] + 1, 0)
+    cell_overflow = n_occ > cfg.NC_max
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    start = jax.lax.cummax(jnp.where(head, idx, -1))
+    rank = idx - start
+    lane_overflow = jnp.any(valid_s & (rank >= cfg.M))
+
+    slot_ok = valid_s & (rank < cfg.M) & (cslot < cfg.NC_max)
+    dense_pos_sorted = jnp.where(
+        slot_ok, jnp.clip(cslot, 0, cfg.NC_max - 1) * cfg.M + rank,
+        cfg.NC_max * cfg.M)
+
+    # dense slot -> original particle (N-element scatter, unique indices)
+    slot2p = jnp.full(cfg.NC_max * cfg.M + 1, n, jnp.int32).at[
+        dense_pos_sorted].set(order.astype(jnp.int32), mode="drop",
+                              unique_indices=True)[: cfg.NC_max * cfg.M]
+    # original particle -> dense slot
+    dense_pos = jnp.full(n, cfg.NC_max * cfg.M, jnp.int32).at[
+        jnp.where(slot_ok, order, n)].set(dense_pos_sorted, mode="drop")
+
+    # cell id -> occupied slot table (direct addressing, no search)
+    cell2slot = jnp.full(G + 1, cfg.NC_max, jnp.int32).at[
+        jnp.where(head, ks, G)].set(jnp.clip(cslot, 0, cfg.NC_max - 1),
+                                    mode="drop")[:G]
+
+    # per occupied cell: its linear cell id (via head particles)
+    cell_cid = jnp.full(cfg.NC_max, -1, jnp.int32).at[
+        jnp.where(head & (cslot < cfg.NC_max), cslot, cfg.NC_max)
+    ].set(ks, mode="drop", unique_indices=True)
+
+    # neighbor slots per occupied cell: direct lookups
+    offs = []
+    for (dx_, dy_, dz_) in cfg.stencil:
+        off = dx_ + gx * (dy_ + gy * dz_)
+        q = cell_cid + off
+        # cells on the domain boundary ring are excluded above, so the
+        # offset arithmetic never wraps rows
+        q = jnp.where((cell_cid >= 0) & (q >= 0) & (q < G), q, G)
+        offs.append(jnp.where(q < G, cell2slot[jnp.clip(q, 0, G - 1)],
+                              cfg.NC_max))
+    nbr_slots = jnp.stack(offs, axis=1)
+
+    return CellGrid(slot2p=slot2p, dense_pos=dense_pos,
+                    nbr_slots=nbr_slots, n_occupied=n_occ,
+                    overflow=dom_overflow | cell_overflow | lane_overflow)
+
+
+# ---------------------------------------------------------------------------
+# packing / unpacking
+# ---------------------------------------------------------------------------
+
+def pack_fields(grid: CellGrid, cfg: CellGridConfig, fields, sentinels):
+    """Pack per-particle [N] arrays into dense [NC_max, M, F].
+
+    ``fields``: list of [N] arrays (same dtype); ``sentinels``: value per
+    field used for empty lanes.  One [N+1, F] stack + one row gather.
+    """
+    stacked = jnp.stack(fields, axis=-1)  # [N, F]
+    pad = jnp.asarray(sentinels, stacked.dtype)[None, :]
+    ext = jnp.concatenate([stacked, pad], axis=0)  # [N+1, F]
+    dense = ext[grid.slot2p]  # row gather -> [NC_max*M, F]
+    return dense.reshape(cfg.NC_max, cfg.M, len(fields))
+
+
+def pack_rows(grid: CellGrid, cfg: CellGridConfig, arr, sentinel=0.0):
+    """Pack a per-particle [N, R] array into [NC_max, M, R]."""
+    pad = jnp.full((1, arr.shape[1]), sentinel, arr.dtype)
+    ext = jnp.concatenate([arr, pad], axis=0)
+    dense = ext[grid.slot2p]
+    return dense.reshape(cfg.NC_max, cfg.M, arr.shape[1])
+
+
+def unpack(grid: CellGrid, cfg: CellGridConfig, dense, n: int, fill=0.0):
+    """Dense [NC_max, M, R...] -> per-particle [N, R...] (original order)."""
+    flat = dense.reshape((cfg.NC_max * cfg.M,) + dense.shape[2:])
+    pad = jnp.full((1,) + flat.shape[1:], fill, flat.dtype)
+    ext = jnp.concatenate([flat, pad], axis=0)
+    pos = jnp.minimum(grid.dense_pos, cfg.NC_max * cfg.M)
+    return ext[pos]
+
+
+def map_over_cells(cfg: CellGridConfig, fn, *dense_args):
+    """Run ``fn(block_start, *sliced_blocks)`` over cell chunks and
+    concatenate the outputs along the cell axis.  Each dense arg is
+    [NC_max, ...]; fn receives [C, ...] slices."""
+    C = cfg.cell_chunk
+    nc_pad = -(-cfg.NC_max // C) * C
+    padded = []
+    for a in dense_args:
+        if nc_pad != cfg.NC_max:
+            pad_shape = (nc_pad - cfg.NC_max,) + a.shape[1:]
+            fillv = cfg.NC_max if a.dtype == jnp.int32 else 0
+            a = jnp.concatenate(
+                [a, jnp.full(pad_shape, fillv, a.dtype)], axis=0)
+        padded.append(a)
+    n_blocks = nc_pad // C
+
+    if n_blocks == 1:
+        out = fn(jnp.int32(0), *padded)
+        single = not isinstance(out, tuple)
+        outs = (out,) if single else out
+        outs = tuple(o[: cfg.NC_max] for o in outs)
+        return outs[0] if single else outs
+
+    def body(i):
+        start = i * C
+        blocks = [jax.lax.dynamic_slice_in_dim(a, start, C, axis=0)
+                  for a in padded]
+        return fn(start, *blocks)
+
+    out = jax.lax.map(body, jnp.arange(n_blocks, dtype=jnp.int32))
+    single = not isinstance(out, tuple)
+    outs = (out,) if single else out
+    merged = tuple(
+        o.reshape((nc_pad,) + o.shape[2:])[: cfg.NC_max] for o in outs)
+    return merged[0] if single else merged
+
+
+def gather_source_block(dense, nbr_slots_block, cfg: CellGridConfig,
+                        sentinel_row=None):
+    """[NC_max, M, F] sources for a block's stencil: [C, O, M, F] via row
+    gathers.  ``sentinel_row`` ([M, F] or scalar) fills missing-neighbor
+    cells — it MUST make downstream gates false (e.g. far-away positions),
+    zeros are only safe for pure accumulators."""
+    if sentinel_row is None:
+        sent = jnp.zeros((1,) + dense.shape[1:], dense.dtype)
+    else:
+        sent = jnp.broadcast_to(
+            jnp.asarray(sentinel_row, dense.dtype), dense.shape[1:]
+        )[None]
+    ext = jnp.concatenate([dense, sent], axis=0)  # [NC_max+1, M, F]
+    slots = jnp.minimum(nbr_slots_block, cfg.NC_max)
+    return ext[slots]  # [C, O, M, F]

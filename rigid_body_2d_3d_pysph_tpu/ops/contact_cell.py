@@ -1,0 +1,182 @@
+"""Mofidi contact pipeline on the dense cell-block engine.
+
+Same physics as ``ops.contact`` (reference Eq. 22/21/24,
+``code/rigid_body_common.py:631-836``) but evaluated over cell blocks:
+all pair quantities are dense ``[C, M, O*M]`` arithmetic with zero
+per-element gathers in the hot loop (see ``ops.cellpairs``).  The final
+per-slot force map (Eq. 24, ``contact.contact_force``) is layout-agnostic
+and is reused unchanged.
+
+Outputs are identical (to float tolerance) to the [N, K] path; the
+equivalence is covered by tests/test_cell_engine.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .cellpairs import (CellGrid, CellGridConfig, gather_source_block,
+                        map_over_cells, pack_fields, pack_rows, unpack)
+from .kernels import Kernel
+
+_BIG = 1.0e9
+
+# packed f32 field order
+_FX, _FY, _FZ, _FU, _FV, _FW, _FM, _FRHO, _FH, _FCFIB = range(10)
+# packed i32 field order
+_IDEM, _IRIGID, _IFLUID = range(3)
+
+_F_SENT = [_BIG, _BIG, _BIG, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 0.0]
+_I_SENT = [-1, 0, 0]
+
+
+def pack_scene(scene, grid: CellGrid, cfg: CellGridConfig):
+    f = pack_fields(grid, cfg,
+                    [scene.x, scene.y, scene.z, scene.u, scene.v, scene.w,
+                     scene.m, scene.rho, scene.h,
+                     scene.contact_force_is_boundary],
+                    _F_SENT)
+    i = pack_fields(grid, cfg,
+                    [scene.dem_id, scene.is_rigid.astype(jnp.int32),
+                     scene.is_fluid.astype(jnp.int32)],
+                    _I_SENT)
+    return f, i
+
+
+def _pair_geom(qf, sf):
+    """Pair displacement/distance: q [C,M,F], s [C,O,M,F] ->
+    [C, M, OM] tensors."""
+    C, O, M, F = sf.shape
+    s = sf.reshape(C, 1, O * M, F)
+    q = qf[:, :, None, :]
+    xij = q[..., _FX] - s[..., _FX]
+    yij = q[..., _FY] - s[..., _FY]
+    zij = q[..., _FZ] - s[..., _FZ]
+    rij = jnp.sqrt(xij * xij + yij * yij + zij * zij)
+    hij = 0.5 * (q[..., _FH] + s[..., _FH])
+    return s, xij, yij, zij, rij, hij
+
+
+def contact_normals_cell(scene, grid: CellGrid, cfg: CellGridConfig,
+                         kernel: Kernel, S: int, df, di):
+    """Eq. 22 over cell blocks -> dense cfn [NC, M, 3] per slot arrays
+    ([NC, M, S] each) + wij sums."""
+
+    def block(start, qf, qi, nbrs):
+        sf = gather_source_block(df, nbrs, cfg, _F_SENT)
+        si = gather_source_block(di, nbrs, cfg, _I_SENT)
+        s, xij, yij, zij, rij, hij = _pair_geom(qf, sf)
+        C, O, M, F = sf.shape
+        si_f = si.reshape(C, 1, O * M, si.shape[-1])
+        s_dem = si_f[..., _IDEM]
+        q_dem = qi[:, :, None, _IDEM]
+        gate = ((s[..., _FCFIB] == 1.0)
+                & (s_dem != q_dem)
+                & (si_f[..., _IFLUID] == 0)
+                & (qi[:, :, None, _IRIGID] == 1)
+                & (rij <= cfg.cell))
+        wij = kernel.w(rij, hij)
+        rinv = 1.0 / jnp.maximum(rij, 1e-300)
+        tmp = qf[:, :, None, _FM] / qf[:, :, None, _FRHO] * rinv * wij
+        tmp = jnp.where(gate, tmp, 0.0)
+
+        outs = []
+        for s_id in range(S):
+            m_s = s_dem == s_id
+            pick = jnp.where(m_s, tmp, 0.0)
+            outs.append(jnp.stack([
+                jnp.sum(pick * xij, -1),
+                jnp.sum(pick * yij, -1),
+                jnp.sum(pick * zij, -1),
+                jnp.sum(pick * rij, -1),  # tmp * RIJ = (m/rho) W
+            ], axis=-1))  # [C, M, 4]
+        return jnp.stack(outs, axis=2)  # [C, M, S, 4]
+
+    acc = map_over_cells(cfg, block, df, di, grid.nbr_slots)  # [NC,M,S,4]
+    sx, sy, sz, sw = (acc[..., 0], acc[..., 1], acc[..., 2], acc[..., 3])
+    has = sw > 1e-12
+    inv_w = jnp.where(has, 1.0 / jnp.maximum(sw, 1e-300), 0.0)
+    mx, my, mz = sx * inv_w, sy * inv_w, sz * inv_w
+    mag = jnp.sqrt(mx * mx + my * my + mz * mz)
+    inv_m = jnp.where(has & (mag > 0), 1.0 / jnp.maximum(mag, 1e-300), 0.0)
+    return mx * inv_m, my * inv_m, mz * inv_m, sw  # dense [NC, M, S]
+
+
+def contact_distance_cell(scene, grid: CellGrid, cfg: CellGridConfig,
+                          kernel: Kernel, S: int, df, di,
+                          cfn_x_d, cfn_y_d, cfn_z_d, spacing0: float):
+    """Eq. 21 over cell blocks (+ closest-source tracking)."""
+    init_dist = 4.0 * spacing0
+    cfn = jnp.stack([cfn_x_d, cfn_y_d, cfn_z_d], axis=-1)  # [NC, M, S, 3]
+
+    def block(start, qf, qi, qcfn, nbrs):
+        sf = gather_source_block(df, nbrs, cfg, _F_SENT)
+        si = gather_source_block(di, nbrs, cfg, _I_SENT)
+        s, xij, yij, zij, rij, hij = _pair_geom(qf, sf)
+        C, O, M, F = sf.shape
+        si_f = si.reshape(C, 1, O * M, si.shape[-1])
+        s_dem = si_f[..., _IDEM]
+        gate = ((s[..., _FCFIB] == 1.0)
+                & (s_dem != qi[:, :, None, _IDEM])
+                & (si_f[..., _IFLUID] == 0)
+                & (qi[:, :, None, _IRIGID] == 1)
+                & (rij <= cfg.cell))
+        wij = kernel.w(rij, hij)
+        tmp = jnp.where(gate, qf[:, :, None, _FM] / qf[:, :, None, _FRHO]
+                        * wij, 0.0)
+
+        num, den, mind = [], [], []
+        srcs = []
+        rg = jnp.where(gate, rij, _BIG)
+        for s_id in range(S):
+            m_s = s_dem == s_id
+            t = jnp.where(m_s, tmp, 0.0)
+            proj = (qcfn[:, :, s_id, 0][:, :, None] * xij
+                    + qcfn[:, :, s_id, 1][:, :, None] * yij
+                    + qcfn[:, :, s_id, 2][:, :, None] * zij)
+            num.append(jnp.sum(t * proj, -1))
+            den.append(jnp.sum(t, -1))
+            r_s = jnp.where(m_s, rg, _BIG)
+            k_star = jnp.argmin(r_s, axis=-1)           # [C, M]
+            r_star = jnp.take_along_axis(r_s, k_star[..., None], -1)[..., 0]
+            found = r_star < init_dist
+            mind.append(jnp.minimum(r_star, init_dist))
+
+            def pick(comp):
+                v = jnp.take_along_axis(s[..., comp], k_star[..., None],
+                                        -1)[..., 0]
+                return jnp.where(found, v, 0.0)
+
+            srcs.append(jnp.stack([pick(_FX), pick(_FY), pick(_FZ),
+                                   pick(_FU), pick(_FV), pick(_FW)], -1))
+        return (jnp.stack(num, -1), jnp.stack(den, -1), jnp.stack(mind, -1),
+                jnp.stack(srcs, 2))  # [C,M,S], ..., [C,M,S,6]
+
+    num, den, mind, srcs = map_over_cells(
+        cfg, block, df, di, cfn, grid.nbr_slots)
+    has = den > 1e-12
+    dist = jnp.where(has, num / jnp.where(has, den, 1.0), 0.0)
+    return dict(
+        contact_force_dist=dist,
+        closest_point_dist_to_source=mind,
+        x_source=srcs[..., 0], y_source=srcs[..., 1], z_source=srcs[..., 2],
+        vx_source=srcs[..., 3], vy_source=srcs[..., 4],
+        vz_source=srcs[..., 5],
+    )
+
+
+def contact_pipeline_cell(scene, grid: CellGrid, cfg: CellGridConfig,
+                          kernel: Kernel):
+    """Both pair passes; returns ([N,S] cfn_x/y/z, wij, dist_info dict)
+    in ORIGINAL particle order, ready for ``contact.contact_force``."""
+    S = scene.meta.total_no_bodies
+    n = scene.n
+    df, di = pack_scene(scene, grid, cfg)
+    cfx_d, cfy_d, cfz_d, sw_d = contact_normals_cell(
+        scene, grid, cfg, kernel, S, df, di)
+    dinfo_d = contact_distance_cell(
+        scene, grid, cfg, kernel, S, df, di, cfx_d, cfy_d, cfz_d,
+        scene.meta.spacing0)
+    up = lambda d, fill=0.0: unpack(grid, cfg, d, n, fill)
+    dinfo = {k: up(v) for k, v in dinfo_d.items()}
+    return up(cfx_d), up(cfy_d), up(cfz_d), up(sw_d), dinfo

@@ -1,0 +1,132 @@
+"""Dense cell-block engine vs the [N, K] neighbor-list path: identical
+contact pipeline results and identical integrator steps."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rigid_body_2d_3d_pysph_tpu.geom import get_2d_block
+from rigid_body_2d_3d_pysph_tpu.models.rigid_body import (
+    RigidBody2DScheme, _attach_contact_fields,
+)
+from rigid_body_2d_3d_pysph_tpu.ops import cellpairs as cellmod
+from rigid_body_2d_3d_pysph_tpu.ops import contact as cops
+from rigid_body_2d_3d_pysph_tpu.ops import contact_cell as ccops
+from rigid_body_2d_3d_pysph_tpu.ops import neighbors as nbmod
+from rigid_body_2d_3d_pysph_tpu.ops.kernels import QuinticSpline
+from rigid_body_2d_3d_pysph_tpu.state import (
+    make_group, build_scene, ROLE_RIGID, ROLE_BOUNDARY,
+)
+from rigid_body_2d_3d_pysph_tpu.state import rigid_setup as rs
+
+
+def _scene():
+    dx = 0.05
+    xb, yb = get_2d_block(dx, 0.2, 0.2)
+    x = np.concatenate([xb, xb + 0.2 + 0.6 * dx])
+    y = np.concatenate([yb, yb])
+    bid = np.concatenate([np.zeros(len(xb), np.int32),
+                          np.ones(len(xb), np.int32)])
+    xw = np.arange(-10, 20) * dx
+    yw = np.full(len(xw), yb.min() - 0.7 * dx)
+    body = make_group("body", x, y, m=2000 * dx * dx, h=1.3 * dx,
+                      rho=2000.0, rad_s=dx / 2, role=ROLE_RIGID,
+                      body_id=bid, dem_id=bid)
+    wall = make_group("wall", xw, yw, m=2000 * dx * dx, h=1.3 * dx,
+                      rho=2000.0, rad_s=dx / 2, role=ROLE_BOUNDARY,
+                      dem_id=2)
+    scene = build_scene([body, wall], dim=2, total_no_bodies=3, spacing0=dx)
+    scene = rs.setup_body_state(scene)
+    scene = _attach_contact_fields(scene)
+    rng = np.random.default_rng(5)
+    n = scene.n
+    scene = scene.replace(
+        contact_force_is_boundary=jnp.ones(n, scene.x.dtype),
+        u=jnp.asarray(rng.uniform(-1, 1, n), scene.x.dtype),
+        v=jnp.asarray(rng.uniform(-1, 1, n), scene.x.dtype),
+    )
+    return scene, dx
+
+
+def test_cell_pipeline_matches_nklist():
+    scene, dx = _scene()
+    kernel = QuinticSpline(dim=2)
+    cutoff = 3 * 1.3 * dx
+
+    cell_cfg = cellmod.config_from_positions(
+        np.asarray(scene.x), np.asarray(scene.y), np.asarray(scene.z),
+        cutoff, 2, cell_chunk=16)
+
+    @jax.jit
+    def run_cell(scene):
+        grid = cellmod.build_cell_grid(scene.x, scene.y, scene.z,
+                                       scene.active, cell_cfg)
+        return grid.overflow, ccops.contact_pipeline_cell(
+            scene, grid, cell_cfg, kernel)
+
+    ovf, (cx_c, cy_c, cz_c, cw_c, dinfo_c) = run_cell(scene)
+    assert not bool(ovf)
+
+    nbrs = nbmod.brute_force_neighbors(scene.x, scene.y, scene.z,
+                                       scene.active, cutoff, 160)
+
+    @jax.jit
+    def run_nk(scene):
+        cx, cy, cz, cw = cops.contact_force_normals(scene, nbrs, kernel)
+        dinfo = cops.contact_force_distance(scene, nbrs, kernel, cx, cy, cz)
+        return cx, cy, cz, cw, dinfo
+
+    cx, cy, cz, cw, dinfo = run_nk(scene)
+
+    np.testing.assert_allclose(np.asarray(cx_c), np.asarray(cx), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(cy_c), np.asarray(cy), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(cw_c), np.asarray(cw), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(dinfo_c["contact_force_dist"]),
+                               np.asarray(dinfo["contact_force_dist"]),
+                               atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(dinfo_c["closest_point_dist_to_source"]),
+        np.asarray(dinfo["closest_point_dist_to_source"]), atol=1e-11)
+    for k in ("x_source", "y_source", "vx_source", "vy_source"):
+        np.testing.assert_allclose(np.asarray(dinfo_c[k]),
+                                   np.asarray(dinfo[k]), atol=1e-11,
+                                   err_msg=k)
+
+
+def test_cell_step_matches_nklist_step():
+    dx = 0.04
+    xb, yb = get_2d_block(dx, 0.2, 0.2)
+    x = np.concatenate([xb, xb + 0.25])
+    y = np.concatenate([yb, yb]) + 0.1
+    bid = np.concatenate([np.zeros(len(xb), np.int32),
+                          np.ones(len(xb), np.int32)])
+    xw = np.arange(-8, 20) * dx
+    yw = np.full(len(xw), -0.05)
+    m = 2000 * dx * dx
+    body = make_group("body", x, y, m=m, h=1.3 * dx, rho=2000.0,
+                      rad_s=dx / 2, role=ROLE_RIGID, body_id=bid, dem_id=bid)
+    wall = make_group("wall", xw, yw, m=m, h=1.3 * dx, rho=2000.0,
+                      rad_s=dx / 2, role=ROLE_BOUNDARY, dem_id=2)
+
+    def build(engine):
+        scene = build_scene([body, wall], dim=2, total_no_bodies=3,
+                            spacing0=dx)
+        scheme = RigidBody2DScheme(rigid_bodies=["body"],
+                                   boundaries=["wall"], gy=-9.81, dim=2)
+        scheme.engine = engine
+        scene = scheme.setup(scene)
+        return scheme, scene
+
+    sch_c, sc_c = build("cell")
+    sch_n, sc_n = build("nklist")
+    step_c = sch_c.make_step(sc_c)
+    step_n = sch_n.make_step(sc_n)
+    dt = jnp.asarray(1e-4)
+    for _ in range(25):
+        sc_c = step_c(sc_c, dt)
+        sc_n = step_n(sc_n, dt)
+    for k in ("x", "y", "u", "v", "fx", "fy"):
+        np.testing.assert_allclose(np.asarray(sc_c[k]), np.asarray(sc_n[k]),
+                                   atol=1e-9, err_msg=k)
+    np.testing.assert_allclose(np.asarray(sc_c.force),
+                               np.asarray(sc_n.force), atol=1e-7)
