@@ -13,6 +13,7 @@ equivalence is covered by tests/test_cell_engine.py.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .cellpairs import (CellGrid, CellGridConfig, gather_source_block,
@@ -128,6 +129,7 @@ def contact_distance_cell(scene, grid: CellGrid, cfg: CellGridConfig,
         num, den, mind = [], [], []
         srcs = []
         rg = jnp.where(gate, rij, _BIG)
+        lane = jax.lax.broadcasted_iota(jnp.int32, rg.shape, 2)
         for s_id in range(S):
             m_s = s_dem == s_id
             t = jnp.where(m_s, tmp, 0.0)
@@ -137,14 +139,16 @@ def contact_distance_cell(scene, grid: CellGrid, cfg: CellGridConfig,
             num.append(jnp.sum(t * proj, -1))
             den.append(jnp.sum(t, -1))
             r_s = jnp.where(m_s, rg, _BIG)
+            # closest source: argmin + one-hot selection (dense VPU work;
+            # take_along_axis would lower to slow per-element gathers)
             k_star = jnp.argmin(r_s, axis=-1)           # [C, M]
-            r_star = jnp.take_along_axis(r_s, k_star[..., None], -1)[..., 0]
+            sel = lane == k_star[..., None]
+            r_star = jnp.min(r_s, axis=-1)
             found = r_star < init_dist
             mind.append(jnp.minimum(r_star, init_dist))
 
             def pick(comp):
-                v = jnp.take_along_axis(s[..., comp], k_star[..., None],
-                                        -1)[..., 0]
+                v = jnp.sum(jnp.where(sel, s[..., comp], 0.0), axis=-1)
                 return jnp.where(found, v, 0.0)
 
             srcs.append(jnp.stack([pick(_FX), pick(_FY), pick(_FZ),
