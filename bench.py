@@ -66,6 +66,9 @@ def build_scene():
                         spacing0=dx)
     scheme = RigidBody2DScheme(rigid_bodies=["body"], boundaries=["tank"],
                                gy=-9.81, dim=2)
+    # let the baseline run the engine that suits its platform (the dense
+    # cell formulation is TPU-optimal; [N,K] lists suit the CPU better)
+    scheme.engine = os.environ.get("BENCH_ENGINE", "cell")
     scene = scheme.setup(scene)
     return scheme, scene
 
@@ -116,6 +119,7 @@ if __name__ == "__main__":
     vs = None
     try:
         env = dict(os.environ, RB_TPU_PLATFORM="cpu")
+        env.setdefault("BENCH_ENGINE", "cell")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
             capture_output=True, text=True, timeout=3600, env=env)

@@ -35,8 +35,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config
+from ..ops import cellpairs as cellmod
 from ..ops import fluid as fops
+from ..ops import fluid_cell as fcops
 from ..ops import neighbors as nbmod
+from ..ops.cellpairs import pack_fields
 from ..ops.kernels import get_kernel
 from ..state import rigid_setup
 from ..state.scene import Scene
@@ -48,6 +51,7 @@ from .rigid_body import (
     _particles_from_body_velocity,
     _particles_from_body_position,
     rigid_contact_force_eval,
+    rigid_contact_force_eval_cell,
     run_boundary_identification,
 )
 
@@ -73,10 +77,12 @@ class RigidFluidCouplingScheme(Scheme):
         self.edac = True
         self.edac_alpha = edac_alpha
         self.kernel_name = "quintic"
+        self.engine = "cell"  # "cell" (TPU-fast) or "nklist"
         self.dt = None
         self.tf = None
         self.pfreq = 100
         self._nbr_cfg: Optional[nbmod.NeighborConfig] = None
+        self._cell_cfg: Optional[cellmod.CellGridConfig] = None
 
     @property
     def edac_nu(self):
@@ -143,8 +149,145 @@ class RigidFluidCouplingScheme(Scheme):
     def set_angular_velocity(self, scene, omega):
         return rigid_setup.set_angular_velocity(scene, omega)
 
+    def cell_config(self, scene: Scene, kernel) -> cellmod.CellGridConfig:
+        if self._cell_cfg is None:
+            cutoff = float(kernel.radius_scale * np.asarray(scene.h).max())
+            self._cell_cfg = cellmod.config_from_positions(
+                np.asarray(scene.x), np.asarray(scene.y),
+                np.asarray(scene.z), cutoff, self.dim)
+        return self._cell_cfg
+
     # -- the fused step ---------------------------------------------------
     def make_step(self, scene: Scene):
+        if self.engine == "cell":
+            return self._make_step_cell(scene)
+        return self._make_step_nklist(scene)
+
+    def _make_step_cell(self, scene: Scene):
+        """Coupling step on the dense cell engine: three fluid passes +
+        two contact passes per step (see ops.fluid_cell)."""
+        kernel = get_kernel(self.kernel_name, self.dim)
+        ccfg = self.cell_config(scene, kernel)
+        params = dict(kr=self.kr, kf=self.kf, fric_coeff=self.fric_coeff,
+                      gx=self.gx, gy=self.gy, gz=self.gz)
+        gx, gy, gz = self.gx, self.gy, self.gz
+        edac = self.edac
+        nu_edac = self.edac_nu
+        c0, rho0, gamma = self.c0, self.rho0, self.gamma
+        fluid_alpha = self.fluid_alpha
+        has_fluid = len(self.fluids) > 0
+        has_rigid = len(self.rigid_bodies) > 0
+
+        @jax.jit
+        def step(scene: Scene, dt):
+            fl = scene.is_fluid & scene.active
+            bd = scene.is_static_boundary & scene.active
+            rb = scene.is_rigid & scene.active
+
+            grid = cellmod.build_cell_grid(scene.x, scene.y, scene.z,
+                                           scene.active, ccfg)
+
+            # ---- stage-1 equations: fluid rates (pre-kick velocities) --
+            if has_fluid:
+                df, di = fcops.pack_fluid_scene(scene, grid, ccfg)
+                arho, ap = fcops.fluid_rates_cell(
+                    scene, grid, ccfg, kernel, df, di, nu_edac, c0, edac,
+                    has_rigid)
+                scene = scene.replace(arho=jnp.where(fl, arho, 0.0),
+                                      ap=jnp.where(fl, ap, 0.0))
+
+            # ---- stepper stage 1 ----
+            if has_fluid:
+                scene = scene.replace(
+                    u=jnp.where(fl, scene.u + 0.5 * dt * scene.au, scene.u),
+                    v=jnp.where(fl, scene.v + 0.5 * dt * scene.av, scene.v),
+                    w=jnp.where(fl, scene.w + 0.5 * dt * scene.aw, scene.w),
+                )
+            if has_rigid:
+                scene = _body_half_kick(scene, dt, two_d=False)
+                scene = _particles_from_body_velocity(scene)
+
+            # ---- stage-2 equations (post-kick velocities, same grid) ---
+            if has_fluid:
+                if not edac:
+                    p, cs = fops.tait_eos(scene, rho0, c0, gamma, fl)
+                    scene = scene.replace(p=p, cs=cs)
+                df, di = fcops.pack_fluid_scene(scene, grid, ccfg)
+                uf, vf, wf, sw, p_num = fcops.wall_bc_cell(
+                    scene, grid, ccfg, kernel, df, di, gx, gy, gz)
+                has = sw > 1e-14
+                p_bc = jnp.where(has, p_num / jnp.where(has, sw, 1.0),
+                                 p_num)
+                inv = jnp.where(has, 1.0 / jnp.maximum(sw, 1e-300), 0.0)
+                ufn, vfn, wfn = uf * inv, vf * inv, wf * inv
+                solid = bd | rb
+                scene = scene.replace(
+                    p=jnp.where(bd, jnp.maximum(p_bc, 0.0), scene.p),
+                    p_fsi=jnp.where(rb, p_bc, scene.p_fsi),
+                    uf=jnp.where(solid, ufn, scene.uf),
+                    vf=jnp.where(solid, vfn, scene.vf),
+                    wf=jnp.where(solid, wfn, scene.wf),
+                    ug=jnp.where(solid, 2.0 * scene.u - ufn, scene.ug),
+                    vg=jnp.where(solid, 2.0 * scene.v - vfn, scene.vg),
+                    wg=jnp.where(solid, 2.0 * scene.w - wfn, scene.wg),
+                    wij_adami=jnp.where(solid, sw, scene.wij_adami),
+                )
+                p_dense = pack_fields(grid, ccfg, [scene.p], [0.0])[..., 0]
+                pfsi_dense = pack_fields(grid, ccfg, [scene.p_fsi],
+                                         [0.0])[..., 0]
+                aux, auy, auz, ffx, ffy, ffz = fcops.fluid_forces_cell(
+                    scene, grid, ccfg, kernel, df, di, p_dense, pfsi_dense,
+                    fluid_alpha, c0, has_rigid)
+                scene = scene.replace(
+                    au=jnp.where(fl, gx + aux, 0.0),
+                    av=jnp.where(fl, gy + auy, 0.0),
+                    aw=jnp.where(fl, gz + auz, 0.0),
+                )
+            if has_rigid:
+                extra = None
+                if has_fluid:
+                    extra = (jnp.where(rb, ffx, 0.0),
+                             jnp.where(rb, ffy, 0.0),
+                             jnp.where(rb, ffz, 0.0))
+                scene = rigid_contact_force_eval_cell(
+                    scene, grid, ccfg, kernel, params, dt, extra_fx=extra)
+
+            scene = scene.replace(
+                nbr_overflow=scene.nbr_overflow | grid.overflow)
+
+            # ---- stepper stage 2 (drift) ----
+            if has_fluid:
+                rho_new = scene.rho + dt * scene.arho
+                upd = dict(
+                    x=jnp.where(fl, scene.x + dt * scene.u, scene.x),
+                    y=jnp.where(fl, scene.y + dt * scene.v, scene.y),
+                    z=jnp.where(fl, scene.z + dt * scene.w, scene.z),
+                    rho=jnp.where(fl, rho_new, scene.rho),
+                    vol=jnp.where(fl, scene.m / rho_new, scene.vol),
+                )
+                if edac:
+                    upd["p"] = jnp.where(fl, scene.p + dt * scene.ap,
+                                         scene.p)
+                scene = scene.replace(**upd)
+            if has_rigid:
+                scene = _body_drift(scene, dt, two_d=False)
+                scene = _particles_from_body_position(scene)
+
+            # ---- stepper stage 3 ----
+            if has_fluid:
+                scene = scene.replace(
+                    u=jnp.where(fl, scene.u + 0.5 * dt * scene.au, scene.u),
+                    v=jnp.where(fl, scene.v + 0.5 * dt * scene.av, scene.v),
+                    w=jnp.where(fl, scene.w + 0.5 * dt * scene.aw, scene.w),
+                )
+            if has_rigid:
+                scene = _body_half_kick(scene, dt, two_d=False)
+                scene = _particles_from_body_velocity(scene)
+            return scene
+
+        return step
+
+    def _make_step_nklist(self, scene: Scene):
         kernel = get_kernel(self.kernel_name, self.dim)
         if self._nbr_cfg is None:
             self._nbr_cfg = self.neighbor_config(scene, kernel.radius_scale)

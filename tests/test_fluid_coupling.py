@@ -112,3 +112,26 @@ def test_heavy_body_sinks():
     assert np.isfinite(np.asarray(s.u)).all()
     # a rho=2 body in rho=1 fluid must move down
     assert y1 < y0
+
+
+def test_cell_and_nklist_coupling_agree():
+    """5 steps of the full coupling scheme on both engines must match."""
+    def build(engine):
+        scheme, scene, dx, gy, rho0 = _tank_scene(with_body=True)
+        scheme.engine = engine
+        return scheme, scene
+
+    sch_c, sc_c = build("cell")
+    sch_n, sc_n = build("nklist")
+    step_c = sch_c.make_step(sc_c)
+    step_n = sch_n.make_step(sc_n)
+    dt = jnp.asarray(1e-4)
+    for _ in range(5):
+        sc_c = step_c(sc_c, dt)
+        sc_n = step_n(sc_n, dt)
+    for k in ("x", "y", "u", "v", "rho", "p", "p_fsi", "arho", "au", "av",
+              "fx", "fy"):
+        np.testing.assert_allclose(np.asarray(sc_c[k]), np.asarray(sc_n[k]),
+                                   atol=1e-8, rtol=1e-8, err_msg=k)
+    np.testing.assert_allclose(np.asarray(sc_c.force),
+                               np.asarray(sc_n.force), atol=1e-7)
