@@ -48,6 +48,7 @@ MATRIX = {
     "stack_of_cylinders": ("stack_of_cylinders.py", []),
     "stack_of_cylinders_test_1": ("stack_of_cylinders_test_1.py", []),
     "sinking_box": ("rigid_body_rotating_and_sinking_in_tank_2d.py", []),
+    "dem_column_collapse": ("dem_granular_column_collapse.py", []),
 }
 
 
