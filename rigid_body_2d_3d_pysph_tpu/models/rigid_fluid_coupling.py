@@ -152,9 +152,13 @@ class RigidFluidCouplingScheme(Scheme):
     def cell_config(self, scene: Scene, kernel) -> cellmod.CellGridConfig:
         if self._cell_cfg is None:
             cutoff = float(kernel.radius_scale * np.asarray(scene.h).max())
+            # fluid + body phases can interpenetrate the same cells at
+            # run time (e.g. a body sinking into fluid), up to doubling
+            # the initial occupancy — size the lanes for it
             self._cell_cfg = cellmod.config_from_positions(
                 np.asarray(scene.x), np.asarray(scene.y),
-                np.asarray(scene.z), cutoff, self.dim)
+                np.asarray(scene.z), cutoff, self.dim,
+                occupancy_safety=2.6)
         return self._cell_cfg
 
     # -- the fused step ---------------------------------------------------

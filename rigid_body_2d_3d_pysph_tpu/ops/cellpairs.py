@@ -62,6 +62,7 @@ class CellGridConfig:
 def config_from_positions(x, y, z, cutoff: float, dim: int,
                           slack: float = 0.75, M: int | None = None,
                           nc_factor: float = 1.6,
+                          occupancy_safety: float = 1.5,
                           cell_chunk: int = 512) -> CellGridConfig:
     """Host-side: bound the domain from initial positions with ``slack``
     x extent margins; size M from measured occupancy and NC_max from the
@@ -88,7 +89,7 @@ def config_from_positions(x, y, z, cutoff: float, dim: int,
     _, counts = np.unique(cells, axis=0, return_counts=True)
     occ = counts.max()
     if M is None:
-        M = int(np.ceil(occ * 1.5)) + 2
+        M = int(np.ceil(occ * occupancy_safety)) + 2
         M = max(8, -(-M // 8) * 8)  # multiples of 8 lanes
     nc = len(counts)
     NC_max = max(64, int(np.ceil(nc * nc_factor)))

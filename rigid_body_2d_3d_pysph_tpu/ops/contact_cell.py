@@ -81,17 +81,17 @@ def contact_normals_cell(scene, grid: CellGrid, cfg: CellGridConfig,
         tmp = qf[:, :, None, _FM] / qf[:, :, None, _FRHO] * rinv * wij
         tmp = jnp.where(gate, tmp, 0.0)
 
-        outs = []
-        for s_id in range(S):
-            m_s = s_dem == s_id
-            pick = jnp.where(m_s, tmp, 0.0)
-            outs.append(jnp.stack([
-                jnp.sum(pick * xij, -1),
-                jnp.sum(pick * yij, -1),
-                jnp.sum(pick * zij, -1),
-                jnp.sum(pick * rij, -1),  # tmp * RIJ = (m/rho) W
-            ], axis=-1))  # [C, M, 4]
-        return jnp.stack(outs, axis=2)  # [C, M, S, 4]
+        # slot reduction as a one-hot contraction over the source lanes:
+        # [C,M,OM,4] x [C,OM,S] -> [C,M,S,4] runs on the MXU and touches
+        # each [C,M,OM] quantity once (a per-slot loop would re-stream
+        # them S times from HBM)
+        oh = (s_dem[:, 0, :, None]
+              == jnp.arange(S, dtype=s_dem.dtype)[None, None, :]
+              ).astype(tmp.dtype)  # [C, OM, S]
+        quant = jnp.stack([tmp * xij, tmp * yij, tmp * zij, tmp * rij],
+                          axis=-1)  # [C, M, OM, 4]
+        return jnp.einsum("cmkq,cks->cmsq", quant, oh,
+                          preferred_element_type=tmp.dtype)
 
     acc = map_over_cells(cfg, block, df, di, grid.nbr_slots)  # [NC,M,S,4]
     sx, sy, sz, sw = (acc[..., 0], acc[..., 1], acc[..., 2], acc[..., 3])
@@ -126,34 +126,38 @@ def contact_distance_cell(scene, grid: CellGrid, cfg: CellGridConfig,
         tmp = jnp.where(gate, qf[:, :, None, _FM] / qf[:, :, None, _FRHO]
                         * wij, 0.0)
 
-        num, den, mind = [], [], []
-        srcs = []
+        # numerator/denominator sums batched over slots via one-hot MXU
+        # contraction: num_s = n_s . sum_k t*xij_vec (the normal is a
+        # per-(dest,slot) constant, so it factors out of the k-sum)
+        oh = (s_dem[:, 0, :, None]
+              == jnp.arange(S, dtype=s_dem.dtype)[None, None, :]
+              ).astype(tmp.dtype)  # [C, OM, S]
+        quant = jnp.stack([tmp, tmp * xij, tmp * yij, tmp * zij], -1)
+        sums = jnp.einsum("cmkq,cks->cmsq", quant, oh,
+                          preferred_element_type=tmp.dtype)  # [C,M,S,4]
+        den = sums[..., 0]
+        num = (qcfn[..., 0] * sums[..., 1] + qcfn[..., 1] * sums[..., 2]
+               + qcfn[..., 2] * sums[..., 3])
+
+        # closest source per slot: argmin + one-hot pick (einsum'd so each
+        # source-field tensor is streamed once per slot, not six times)
+        src6 = jnp.stack([s[..., _FX], s[..., _FY], s[..., _FZ],
+                          s[..., _FU], s[..., _FV], s[..., _FW]],
+                         -1)[:, 0]  # [C, OM, 6]
         rg = jnp.where(gate, rij, _BIG)
         lane = jax.lax.broadcasted_iota(jnp.int32, rg.shape, 2)
+        mind, srcs = [], []
         for s_id in range(S):
-            m_s = s_dem == s_id
-            t = jnp.where(m_s, tmp, 0.0)
-            proj = (qcfn[:, :, s_id, 0][:, :, None] * xij
-                    + qcfn[:, :, s_id, 1][:, :, None] * yij
-                    + qcfn[:, :, s_id, 2][:, :, None] * zij)
-            num.append(jnp.sum(t * proj, -1))
-            den.append(jnp.sum(t, -1))
-            r_s = jnp.where(m_s, rg, _BIG)
-            # closest source: argmin + one-hot selection (dense VPU work;
-            # take_along_axis would lower to slow per-element gathers)
+            r_s = jnp.where(s_dem == s_id, rg, _BIG)
             k_star = jnp.argmin(r_s, axis=-1)           # [C, M]
-            sel = lane == k_star[..., None]
+            sel = (lane == k_star[..., None]).astype(tmp.dtype)
             r_star = jnp.min(r_s, axis=-1)
-            found = r_star < init_dist
+            found = (r_star < init_dist)[..., None]
             mind.append(jnp.minimum(r_star, init_dist))
-
-            def pick(comp):
-                v = jnp.sum(jnp.where(sel, s[..., comp], 0.0), axis=-1)
-                return jnp.where(found, v, 0.0)
-
-            srcs.append(jnp.stack([pick(_FX), pick(_FY), pick(_FZ),
-                                   pick(_FU), pick(_FV), pick(_FW)], -1))
-        return (jnp.stack(num, -1), jnp.stack(den, -1), jnp.stack(mind, -1),
+            picked = jnp.einsum("cmk,ckf->cmf", sel, src6,
+                                preferred_element_type=tmp.dtype)
+            srcs.append(jnp.where(found, picked, 0.0))
+        return (num, den, jnp.stack(mind, -1),
                 jnp.stack(srcs, 2))  # [C,M,S], ..., [C,M,S,6]
 
     num, den, mind, srcs = map_over_cells(
