@@ -78,6 +78,16 @@ class RigidFluidCouplingScheme(Scheme):
         self.edac_alpha = edac_alpha
         self.kernel_name = "quintic"
         self.engine = "cell"  # "cell" (TPU-fast) or "nklist"
+        # GTVF stage ordering.  "reference" reproduces the PySPH order
+        # (rates at u_n pre-kick, momentum at p_n pre-drift) which is an
+        # Adams-Bashforth-like staging of the acoustic subsystem and is
+        # weakly unstable for WCSPH/EDAC (measured: e-folding ~100 steps
+        # on the hydrostatic tank at the reference's own c0/dt).  "kdk"
+        # is the symplectic kick-drift-kick staging: density/pressure
+        # rates at u_{n+1/2}, momentum + wall BC evaluated after the
+        # drift at (x_{n+1}, p_{n+1}).  Same spatial discretization,
+        # stable.
+        self.gtvf_ordering = "kdk"
         self.dt = None
         self.tf = None
         self.pfreq = 100
@@ -181,6 +191,126 @@ class RigidFluidCouplingScheme(Scheme):
         fluid_alpha = self.fluid_alpha
         has_fluid = len(self.fluids) > 0
         has_rigid = len(self.rigid_bodies) > 0
+
+        if self.gtvf_ordering == "kdk":
+            @jax.jit
+            def step_kdk(scene: Scene, dt):
+                fl = scene.is_fluid & scene.active
+                bd = scene.is_static_boundary & scene.active
+                rb = scene.is_rigid & scene.active
+                solid = bd | rb
+
+                # ---- kick (half, stored accelerations/forces) ----
+                if has_fluid:
+                    scene = scene.replace(
+                        u=jnp.where(fl, scene.u + 0.5 * dt * scene.au,
+                                    scene.u),
+                        v=jnp.where(fl, scene.v + 0.5 * dt * scene.av,
+                                    scene.v),
+                        w=jnp.where(fl, scene.w + 0.5 * dt * scene.aw,
+                                    scene.w),
+                    )
+                if has_rigid:
+                    scene = _body_half_kick(scene, dt, two_d=False)
+                    scene = _particles_from_body_velocity(scene)
+
+                # ---- density/pressure rates at u_{n+1/2}, x_n ----
+                ovf = scene.nbr_overflow
+                if has_fluid:
+                    grid = cellmod.build_cell_grid(
+                        scene.x, scene.y, scene.z, scene.active, ccfg)
+                    ovf = ovf | grid.overflow
+                    df, di = fcops.pack_fluid_scene(scene, grid, ccfg)
+                    arho, ap = fcops.fluid_rates_cell(
+                        scene, grid, ccfg, kernel, df, di, nu_edac, c0,
+                        edac, has_rigid)
+                    scene = scene.replace(arho=jnp.where(fl, arho, 0.0),
+                                          ap=jnp.where(fl, ap, 0.0))
+
+                # ---- drift + thermodynamic update ----
+                if has_fluid:
+                    rho_new = scene.rho + dt * scene.arho
+                    upd = dict(
+                        x=jnp.where(fl, scene.x + dt * scene.u, scene.x),
+                        y=jnp.where(fl, scene.y + dt * scene.v, scene.y),
+                        z=jnp.where(fl, scene.z + dt * scene.w, scene.z),
+                        rho=jnp.where(fl, rho_new, scene.rho),
+                        vol=jnp.where(fl, scene.m / rho_new, scene.vol),
+                    )
+                    if edac:
+                        upd["p"] = jnp.where(fl, scene.p + dt * scene.ap,
+                                             scene.p)
+                    scene = scene.replace(**upd)
+                if has_rigid:
+                    scene = _body_drift(scene, dt, two_d=False)
+                    scene = _particles_from_body_position(scene)
+
+                # ---- forces at (x_{n+1}, p_{n+1}, u_{n+1/2}) ----
+                grid = cellmod.build_cell_grid(scene.x, scene.y, scene.z,
+                                               scene.active, ccfg)
+                ovf = ovf | grid.overflow
+                if has_fluid:
+                    if not edac:
+                        p, cs = fops.tait_eos(scene, rho0, c0, gamma, fl)
+                        scene = scene.replace(p=p, cs=cs)
+                    df, di = fcops.pack_fluid_scene(scene, grid, ccfg)
+                    uf, vf, wf, sw, p_num = fcops.wall_bc_cell(
+                        scene, grid, ccfg, kernel, df, di, gx, gy, gz)
+                    has = sw > 1e-14
+                    p_bc = jnp.where(has, p_num / jnp.where(has, sw, 1.0),
+                                     p_num)
+                    inv = jnp.where(has, 1.0 / jnp.maximum(sw, 1e-300), 0.0)
+                    ufn, vfn, wfn = uf * inv, vf * inv, wf * inv
+                    scene = scene.replace(
+                        p=jnp.where(bd, jnp.maximum(p_bc, 0.0), scene.p),
+                        p_fsi=jnp.where(rb, p_bc, scene.p_fsi),
+                        uf=jnp.where(solid, ufn, scene.uf),
+                        vf=jnp.where(solid, vfn, scene.vf),
+                        wf=jnp.where(solid, wfn, scene.wf),
+                        ug=jnp.where(solid, 2.0 * scene.u - ufn, scene.ug),
+                        vg=jnp.where(solid, 2.0 * scene.v - vfn, scene.vg),
+                        wg=jnp.where(solid, 2.0 * scene.w - wfn, scene.wg),
+                        wij_adami=jnp.where(solid, sw, scene.wij_adami),
+                    )
+                    p_dense = pack_fields(grid, ccfg, [scene.p],
+                                          [0.0])[..., 0]
+                    pfsi_dense = pack_fields(grid, ccfg, [scene.p_fsi],
+                                             [0.0])[..., 0]
+                    aux, auy, auz, ffx, ffy, ffz = fcops.fluid_forces_cell(
+                        scene, grid, ccfg, kernel, df, di, p_dense,
+                        pfsi_dense, fluid_alpha, c0, has_rigid)
+                    scene = scene.replace(
+                        au=jnp.where(fl, gx + aux, 0.0),
+                        av=jnp.where(fl, gy + auy, 0.0),
+                        aw=jnp.where(fl, gz + auz, 0.0),
+                    )
+                if has_rigid:
+                    extra = None
+                    if has_fluid:
+                        extra = (jnp.where(rb, ffx, 0.0),
+                                 jnp.where(rb, ffy, 0.0),
+                                 jnp.where(rb, ffz, 0.0))
+                    scene = rigid_contact_force_eval_cell(
+                        scene, grid, ccfg, kernel, params, dt,
+                        extra_fx=extra)
+                scene = scene.replace(nbr_overflow=ovf)
+
+                # ---- second half-kick with the fresh accelerations ----
+                if has_fluid:
+                    scene = scene.replace(
+                        u=jnp.where(fl, scene.u + 0.5 * dt * scene.au,
+                                    scene.u),
+                        v=jnp.where(fl, scene.v + 0.5 * dt * scene.av,
+                                    scene.v),
+                        w=jnp.where(fl, scene.w + 0.5 * dt * scene.aw,
+                                    scene.w),
+                    )
+                if has_rigid:
+                    scene = _body_half_kick(scene, dt, two_d=False)
+                    scene = _particles_from_body_velocity(scene)
+                return scene
+
+            return step_kdk
 
         @jax.jit
         def step(scene: Scene, dt):

@@ -119,6 +119,8 @@ def test_cell_and_nklist_coupling_agree():
     def build(engine):
         scheme, scene, dx, gy, rho0 = _tank_scene(with_body=True)
         scheme.engine = engine
+        # the nklist path implements only the reference stage ordering
+        scheme.gtvf_ordering = "reference"
         return scheme, scene
 
     sch_c, sc_c = build("cell")
