@@ -60,6 +60,20 @@ SLOT_FIELDS = (
 )
 
 
+def _default_engine() -> str:
+    """cell engine on accelerators, [N,K] lists on CPU (XLA:CPU prefers
+    the gather formulation; XLA:TPU the dense one).  Override with
+    RB_TPU_ENGINE."""
+    import os
+    env = os.environ.get("RB_TPU_ENGINE")
+    if env:
+        return env
+    try:
+        return "cell" if jax.default_backend() == "tpu" else "nklist"
+    except Exception:
+        return "cell"
+
+
 def _attach_contact_fields(scene: Scene) -> Scene:
     fdt = config.float_dtype()
     n, S = scene.n, scene.meta.total_no_bodies
@@ -121,8 +135,9 @@ class _RigidBodySchemeBase(Scheme):
         self.kernel_name = "quintic"
         self.integrator = "gtvf"  # or "rk2" (reference RK2RigidBody3DStep)
         # "cell": dense cell-block engine (TPU-fast, bounded domain);
-        # "nklist": padded [N,K] neighbor lists (unbounded domains/tests)
-        self.engine = "cell"
+        # "nklist": padded [N,K] neighbor lists (CPU-friendly, unbounded
+        # domains).  Default follows the platform.
+        self.engine = _default_engine()
         self.dt = None
         self.tf = None
         self.pfreq = 100

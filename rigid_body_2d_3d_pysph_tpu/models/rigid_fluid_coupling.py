@@ -76,8 +76,9 @@ class RigidFluidCouplingScheme(Scheme):
         self.beta = beta
         self.edac = True
         self.edac_alpha = edac_alpha
+        from .rigid_body import _default_engine
         self.kernel_name = "quintic"
-        self.engine = "cell"  # "cell" (TPU-fast) or "nklist"
+        self.engine = _default_engine()  # "cell" (TPU) or "nklist" (CPU)
         # GTVF stage ordering.  "reference" reproduces the PySPH order
         # (rates at u_n pre-kick, momentum at p_n pre-drift) which is an
         # Adams-Bashforth-like staging of the acoustic subsystem and is

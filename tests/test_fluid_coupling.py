@@ -59,6 +59,7 @@ def _tank_scene(with_body=False):
         rigid_bodies=["body"] if with_body else [],
         fluids=["fluid"], boundaries=["tank"], dim=2, rho0=rho0,
         p0=rho0 * c0**2, c0=c0, gy=gy, nu=0.0, h=dx)
+    scheme.engine = "cell"  # test the production path on any platform
     scene = scheme.setup(scene)
     if with_body:
         # displaced-fluid shadow fields (reference :158-159) — without
