@@ -90,6 +90,36 @@ def _attach_contact_fields(scene: Scene) -> Scene:
     return scene.with_fields(**fields)
 
 
+def run_boundary_identification_cell(scene: Scene, kernel, cell_cfg,
+                                     group_names: Sequence[str]) -> Scene:
+    """Setup-time surface identification on the dense cell engine (all
+    groups in one 3-pass program; each group identifies against itself)."""
+    from ..ops import boundary_cell as bcops
+
+    sel = np.full(scene.n, -1.0)
+    for gi, name in enumerate(group_names):
+        g = scene.meta.group(name)
+        sel[g.start:g.stop] = float(gi)
+    sel = jnp.asarray(sel, config.float_dtype())
+
+    @jax.jit
+    def _identify(scene, sel):
+        grid = cellmod.build_cell_grid(scene.x, scene.y, scene.z,
+                                       scene.active, cell_cfg)
+        n, isb = bcops.boundary_identification_cell(scene, grid, cell_cfg,
+                                                    kernel, sel)
+        return n, isb, grid.overflow
+
+    normal, isb, ovf = _identify(scene, sel)
+    if bool(np.asarray(ovf)):
+        raise RuntimeError("cell-grid overflow during boundary "
+                           "identification — increase grid capacity")
+    mask = np.asarray(sel) >= 0
+    normal = jnp.where(jnp.asarray(mask)[:, None], normal, scene.normal)
+    isb = jnp.where(jnp.asarray(mask), isb, scene.is_boundary)
+    return scene.replace(normal=normal, normal0=normal, is_boundary=isb)
+
+
 def run_boundary_identification(scene: Scene, kernel,
                                 cfg: nbmod.NeighborConfig,
                                 group_names: Sequence[str]) -> Scene:
@@ -164,11 +194,16 @@ class _RigidBodySchemeBase(Scheme):
         scene = _attach_contact_fields(scene)
         scene = rigid_setup.setup_body_state(scene, coeff_of_rest)
         kernel = get_kernel(self.kernel_name, self.dim)
-        self._nbr_cfg = self.neighbor_config(scene, kernel.radius_scale)
         if identify_boundaries:
-            scene = run_boundary_identification(
-                scene, kernel, self._nbr_cfg,
-                self.rigid_bodies + self.boundaries)
+            names = self.rigid_bodies + self.boundaries
+            if self.engine == "cell":
+                scene = run_boundary_identification_cell(
+                    scene, kernel, self.cell_config(scene, kernel), names)
+            else:
+                self._nbr_cfg = self.neighbor_config(scene,
+                                                     kernel.radius_scale)
+                scene = run_boundary_identification(
+                    scene, kernel, self._nbr_cfg, names)
             # host-side cast (avoid a device round-trip compile)
             cfib = np.asarray(scene.is_boundary).astype(np.float64)
             scene = scene.replace(

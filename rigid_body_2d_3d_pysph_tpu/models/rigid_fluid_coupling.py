@@ -144,11 +144,17 @@ class RigidFluidCouplingScheme(Scheme):
             cs=jnp.full(n, self.c0, fdt),
         )
         kernel = get_kernel(self.kernel_name, self.dim)
-        self._nbr_cfg = self.neighbor_config(scene, kernel.radius_scale)
         if identify_boundaries and (self.rigid_bodies or self.boundaries):
-            scene = run_boundary_identification(
-                scene, kernel, self._nbr_cfg,
-                self.rigid_bodies + self.boundaries)
+            names = self.rigid_bodies + self.boundaries
+            if self.engine == "cell":
+                from .rigid_body import run_boundary_identification_cell
+                scene = run_boundary_identification_cell(
+                    scene, kernel, self.cell_config(scene, kernel), names)
+            else:
+                self._nbr_cfg = self.neighbor_config(scene,
+                                                     kernel.radius_scale)
+                scene = run_boundary_identification(
+                    scene, kernel, self._nbr_cfg, names)
             cfib = np.asarray(scene.is_boundary).astype(np.float64)
             scene = scene.replace(
                 contact_force_is_boundary=jnp.asarray(cfib, fdt))

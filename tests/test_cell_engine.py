@@ -130,3 +130,33 @@ def test_cell_step_matches_nklist_step():
                                    atol=1e-9, err_msg=k)
     np.testing.assert_allclose(np.asarray(sc_c.force),
                                np.asarray(sc_n.force), atol=1e-7)
+
+
+def test_boundary_identification_engines_agree():
+    from rigid_body_2d_3d_pysph_tpu.models.rigid_body import (
+        run_boundary_identification, run_boundary_identification_cell,
+    )
+    from rigid_body_2d_3d_pysph_tpu.ops import neighbors as nb2
+    from rigid_body_2d_3d_pysph_tpu.state import rigid_setup as rs2
+
+    scene, dx = _scene()
+    kernel = QuinticSpline(dim=2)
+    cutoff = 3 * 1.3 * dx
+    names = ["body", "wall"]
+
+    cell_cfg = cellmod.config_from_positions(
+        np.asarray(scene.x), np.asarray(scene.y), np.asarray(scene.z),
+        cutoff, 2, cell_chunk=16)
+    s_cell = run_boundary_identification_cell(scene, kernel, cell_cfg, names)
+
+    m, k = nb2.estimate_capacities(
+        np.asarray(scene.x), np.asarray(scene.y), np.asarray(scene.z),
+        cutoff, 2)
+    nk_cfg = nb2.default_config(2, cutoff, scene.n, max_neighbors=k,
+                                max_per_cell=m)
+    s_nk = run_boundary_identification(scene, kernel, nk_cfg, names)
+
+    np.testing.assert_array_equal(np.asarray(s_cell.is_boundary),
+                                  np.asarray(s_nk.is_boundary))
+    np.testing.assert_allclose(np.asarray(s_cell.normal),
+                               np.asarray(s_nk.normal), atol=1e-11)
