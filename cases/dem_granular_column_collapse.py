@@ -52,8 +52,8 @@ class GranularColumnCollapse(Application):
             body_id=np.arange(n, dtype=np.int32),
             dem_id=np.zeros(n, np.int32),
         )
-        # floor
-        xf = np.arange(-0.1, 0.25, 2 * self.radius)
+        # floor (wide enough that the runout stays on it)
+        xf = np.arange(-0.35, 0.35, 2 * self.radius)
         yf = np.full(len(xf), -self.radius)
         floor = make_group(
             "floor", xf, yf, m=m, h=2.0 * self.radius, rho=self.rho,
