@@ -160,3 +160,71 @@ def test_boundary_identification_engines_agree():
                                   np.asarray(s_nk.is_boundary))
     np.testing.assert_allclose(np.asarray(s_cell.normal),
                                np.asarray(s_nk.normal), atol=1e-11)
+
+
+def test_cell_engine_3d_matches_nklist():
+    """3D (27-cell stencil) equivalence on a two-cube + floor scene."""
+    from rigid_body_2d_3d_pysph_tpu.geom import get_3d_block
+
+    dx = 0.05
+    xb, yb, zb = get_3d_block(dx, 0.2, 0.2, 0.2)
+    x = np.concatenate([xb, xb + 0.2 + 0.6 * dx])
+    y = np.concatenate([yb, yb])
+    z = np.concatenate([zb, zb])
+    bid = np.concatenate([np.zeros(len(xb), np.int32),
+                          np.ones(len(xb), np.int32)])
+    # floor plane below
+    fx_, fz_ = np.meshgrid(np.arange(-6, 14) * dx, np.arange(-6, 7) * dx)
+    fy_ = np.full(fx_.size, y.min() - 0.7 * dx)
+    body = make_group("body", x, y, z, m=2000 * dx**3, h=1.2 * dx,
+                      rho=2000.0, rad_s=dx / 2, role=ROLE_RIGID,
+                      body_id=bid, dem_id=bid)
+    wall = make_group("wall", fx_.ravel(), fy_, fz_.ravel(),
+                      m=2000 * dx**3, h=1.2 * dx, rho=2000.0,
+                      rad_s=dx / 2, role=ROLE_BOUNDARY, dem_id=2)
+    scene = build_scene([body, wall], dim=3, total_no_bodies=3, spacing0=dx)
+    scene = rs.setup_body_state(scene)
+    scene = _attach_contact_fields(scene)
+    rng = np.random.default_rng(11)
+    n = scene.n
+    scene = scene.replace(
+        contact_force_is_boundary=jnp.ones(n, scene.x.dtype),
+        u=jnp.asarray(rng.uniform(-1, 1, n), scene.x.dtype),
+        w=jnp.asarray(rng.uniform(-1, 1, n), scene.x.dtype),
+    )
+    kernel = QuinticSpline(dim=3)
+    cutoff = 3 * 1.2 * dx
+    cell_cfg = cellmod.config_from_positions(
+        np.asarray(scene.x), np.asarray(scene.y), np.asarray(scene.z),
+        cutoff, 3, cell_chunk=64)
+
+    @jax.jit
+    def run_cell(scene):
+        grid = cellmod.build_cell_grid(scene.x, scene.y, scene.z,
+                                       scene.active, cell_cfg)
+        return grid.overflow, ccops.contact_pipeline_cell(
+            scene, grid, cell_cfg, kernel)
+
+    ovf, (cx_c, cy_c, cz_c, cw_c, dinfo_c) = run_cell(scene)
+    assert not bool(ovf)
+
+    nbrs = nbmod.brute_force_neighbors(scene.x, scene.y, scene.z,
+                                       scene.active, cutoff, 256)
+
+    @jax.jit
+    def run_nk(scene):
+        cx, cy, cz, cw = cops.contact_force_normals(scene, nbrs, kernel)
+        dinfo = cops.contact_force_distance(scene, nbrs, kernel, cx, cy, cz)
+        return cx, cy, cz, cw, dinfo
+
+    cx, cy, cz, cw, dinfo = run_nk(scene)
+    np.testing.assert_allclose(np.asarray(cx_c), np.asarray(cx), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(cz_c), np.asarray(cz), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(cw_c), np.asarray(cw), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(dinfo_c["contact_force_dist"]),
+                               np.asarray(dinfo["contact_force_dist"]),
+                               atol=1e-11)
+    for k in ("x_source", "z_source", "vx_source", "vz_source"):
+        np.testing.assert_allclose(np.asarray(dinfo_c[k]),
+                                   np.asarray(dinfo[k]), atol=1e-11,
+                                   err_msg=k)
