@@ -55,7 +55,7 @@ def boundary_identification_cell(scene, grid: CellGrid,
     def block_normals(start, qf, nbrs):
         sf = gather_source_block(df, nbrs, cfg, _SENT)
         s, q, xij, yij, zij, rij, hij = _geom(qf, sf)
-        gate = same_group(q, s) & (rij <= cfg.cell)
+        gate = same_group(q, s) & (rij <= cfg.radius)
         fac = jnp.where(gate,
                         -(s[..., _BM] / s[..., _BRHO])
                         * kernel.gradw_scalar(rij, hij), 0.0)
@@ -77,7 +77,7 @@ def boundary_identification_cell(scene, grid: CellGrid,
         s, q, xij, yij, zij, rij, hij = _geom(qf, sf)
         C, O, M, F = sf.shape
         stf = st.reshape(C, 1, O * M, 3)
-        gate = same_group(q, s) & (rij <= cfg.cell)
+        gate = same_group(q, s) & (rij <= cfg.radius)
         fac = jnp.where(gate, (s[..., _BM] / s[..., _BRHO])
                         * kernel.w(rij, hij), 0.0)
         return jnp.stack([jnp.sum(fac * stf[..., 0], -1),

@@ -39,17 +39,23 @@ import numpy as np
 
 @dataclass(frozen=True)
 class CellGridConfig:
-    cell: float                  # cell size == interaction cutoff
+    cell: float                  # bin size (cutoff / sub)
     M: int                       # max particles per cell (padded lanes)
     NC_max: int                  # max occupied cells (static)
     origin: tuple                # grid AABB min corner (3,)
     dims: tuple                  # cells per axis (3,), z=1 in 2D
     dim: int = 2
     cell_chunk: int = 512        # cells processed per map step
+    cutoff: float = 0.0          # interaction radius (defaults to cell)
+    sub: int = 1                 # bins per cutoff (stencil radius)
+
+    @property
+    def radius(self) -> float:
+        return self.cutoff if self.cutoff > 0 else self.cell
 
     @property
     def stencil(self):
-        r = (-1, 0, 1)
+        r = tuple(range(-self.sub, self.sub + 1))
         if self.dim == 2:
             return tuple((dx, dy, 0) for dx in r for dy in r)
         return tuple((dx, dy, dz) for dx in r for dy in r for dz in r)
@@ -63,18 +69,22 @@ def config_from_positions(x, y, z, cutoff: float, dim: int,
                           slack: float = 0.75, M: int | None = None,
                           nc_factor: float = 1.6,
                           occupancy_safety: float = 1.5,
+                          sub: int = 1,
                           cell_chunk: int = 512) -> CellGridConfig:
     """Host-side: bound the domain from initial positions with ``slack``
     x extent margins; size M from measured occupancy and NC_max from the
-    occupied-cell count."""
+    occupied-cell count.  ``sub`` bins per cutoff trades a wider stencil
+    ((2*sub+1)^dim cells) for tighter candidate sets."""
+    cell = float(cutoff) / sub
     x = np.asarray(x); y = np.asarray(y); z = np.asarray(z)
     pts = [x, y] + ([z] if dim == 3 else [])
     lo = np.array([p.min() for p in pts])
     hi = np.array([p.max() for p in pts])
-    ext = np.maximum(hi - lo, cutoff)
+    ext = np.maximum(hi - lo, cell)
     lo = lo - slack * ext - 2 * cutoff
     hi = hi + slack * ext + 2 * cutoff
-    dims = [int(np.ceil((hi[i] - lo[i]) / cutoff)) + 1 for i in range(len(lo))]
+    dims = [int(np.ceil((hi[i] - lo[i]) / cell)) + 2 * sub
+            for i in range(len(lo))]
     if dim == 2:
         origin = (float(lo[0]), float(lo[1]), 0.0)
         dims = (dims[0], dims[1], 1)
@@ -83,7 +93,7 @@ def config_from_positions(x, y, z, cutoff: float, dim: int,
         dims = (dims[0], dims[1], dims[2])
 
     cells = np.floor((np.stack([x, y, z], -1)
-                      - np.array(origin)) / cutoff).astype(np.int64)
+                      - np.array(origin)) / cell).astype(np.int64)
     if dim == 2:
         cells[:, 2] = 0
     _, counts = np.unique(cells, axis=0, return_counts=True)
@@ -93,9 +103,10 @@ def config_from_positions(x, y, z, cutoff: float, dim: int,
         M = max(8, -(-M // 8) * 8)  # multiples of 8 lanes
     nc = len(counts)
     NC_max = max(64, int(np.ceil(nc * nc_factor)))
-    return CellGridConfig(cell=float(cutoff), M=int(M), NC_max=NC_max,
+    return CellGridConfig(cell=cell, M=int(M), NC_max=NC_max,
                           origin=origin, dims=dims, dim=dim,
-                          cell_chunk=cell_chunk)
+                          cell_chunk=cell_chunk, cutoff=float(cutoff),
+                          sub=sub)
 
 
 class CellGrid(NamedTuple):
@@ -115,9 +126,10 @@ def build_cell_grid(x, y, z, active, cfg: CellGridConfig) -> CellGrid:
     cy = jnp.floor((y - oy) * inv).astype(jnp.int32)
     cz = (jnp.floor((z - oz) * inv).astype(jnp.int32)
           if cfg.dim == 3 else jnp.zeros_like(cx))
-    in_dom = ((cx >= 1) & (cx < gx - 1) & (cy >= 1) & (cy < gy - 1)
-              & (cz >= (1 if cfg.dim == 3 else 0))
-              & (cz < (gz - 1 if cfg.dim == 3 else 1)))
+    sb = cfg.sub
+    in_dom = ((cx >= sb) & (cx < gx - sb) & (cy >= sb) & (cy < gy - sb)
+              & (cz >= (sb if cfg.dim == 3 else 0))
+              & (cz < (gz - sb if cfg.dim == 3 else 1)))
     dom_overflow = jnp.any(active & ~in_dom)
     ok = active & in_dom
 

@@ -75,7 +75,7 @@ def contact_normals_cell(scene, grid: CellGrid, cfg: CellGridConfig,
                 & (s_dem != q_dem)
                 & (si_f[..., _IFLUID] == 0)
                 & (qi[:, :, None, _IRIGID] == 1)
-                & (rij <= cfg.cell))
+                & (rij <= cfg.radius))
         wij = kernel.w(rij, hij)
         rinv = 1.0 / jnp.maximum(rij, 1e-300)
         tmp = qf[:, :, None, _FM] / qf[:, :, None, _FRHO] * rinv * wij
@@ -121,7 +121,7 @@ def contact_distance_cell(scene, grid: CellGrid, cfg: CellGridConfig,
                 & (s_dem != qi[:, :, None, _IDEM])
                 & (si_f[..., _IFLUID] == 0)
                 & (qi[:, :, None, _IRIGID] == 1)
-                & (rij <= cfg.cell))
+                & (rij <= cfg.radius))
         wij = kernel.w(rij, hij)
         tmp = jnp.where(gate, qf[:, :, None, _FM] / qf[:, :, None, _FRHO]
                         * wij, 0.0)

@@ -75,7 +75,7 @@ def fluid_rates_cell(scene, grid, cfg: CellGridConfig, kernel: Kernel,
         s, q, xij, yij, zij, rij, r2, hij = _geom(qf, sf)
         C, O, M, F = sf.shape
         sii = si.reshape(C, 1, O * M, si.shape[-1])
-        in_range = rij <= cfg.cell
+        in_range = rij <= cfg.radius
         dest_fluid = qi[:, :, None, _IFLUID] == 1
         src_flbd = (sii[..., _IFLUID] == 1) | (sii[..., _IBDRY] == 1)
         src_rigid = sii[..., _IRIGID] == 1
@@ -136,7 +136,7 @@ def wall_bc_cell(scene, grid, cfg: CellGridConfig, kernel: Kernel, df, di,
         sii = si.reshape(C, 1, O * M, si.shape[-1])
         dest_solid = (qi[:, :, None, _IBDRY] == 1) | \
                      (qi[:, :, None, _IRIGID] == 1)
-        g = dest_solid & (sii[..., _IFLUID] == 1) & (rij <= cfg.cell)
+        g = dest_solid & (sii[..., _IFLUID] == 1) & (rij <= cfg.radius)
         w = jnp.where(g, kernel.w(rij, hij), 0.0)
         uf = jnp.sum(s[..., _FU] * w, -1)
         vf = jnp.sum(s[..., _FV] * w, -1)
@@ -171,7 +171,7 @@ def fluid_forces_cell(scene, grid, cfg: CellGridConfig, kernel: Kernel,
         sii = si.reshape(C, 1, O * M, si.shape[-1])
         spj = sp.reshape(C, 1, O * M)
         spfsij = spfsi.reshape(C, 1, O * M)
-        in_range = rij <= cfg.cell
+        in_range = rij <= cfg.radius
 
         dest_fluid = qi[:, :, None, _IFLUID] == 1
         dest_rigid = qi[:, :, None, _IRIGID] == 1
