@@ -151,6 +151,8 @@ CHECKS = {
         "benchmark_5_2d_pyramid", tol_spacings=4.0),
     "benchmark_5_3d_one": lambda: check_benchmark_5("benchmark_5_3d_one",
                                                     spacing=0.05),
+    "benchmark_5_3d_two": lambda: check_benchmark_5("benchmark_5_3d_two",
+                                                    spacing=0.05),
     "stack_of_cylinders": check_stack_of_cylinders,
 }
 
