@@ -133,9 +133,12 @@ if __name__ == "__main__":
     except Exception:
         pass
 
+    # ~48 quintic-kernel neighbors per particle in this 2D configuration
+    pair_evals = r["steps_per_sec"] * r["n"] * 48 * 2  # 2 pair passes/step
     print(json.dumps({
         "metric": f"rigid-contact steps/sec @ {r['n']} particles "
-                  f"({r['platform']})",
+                  f"({r['platform']}; ~{pair_evals:.3g} contact-pair "
+                  f"evals/sec)",
         "value": round(r["steps_per_sec"], 3),
         "unit": "steps/sec",
         "vs_baseline": round(vs, 2) if vs else None,
