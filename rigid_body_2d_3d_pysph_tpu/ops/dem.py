@@ -251,8 +251,12 @@ def lvc_force(scene, nbrs: NeighborList, dt, kn: float, mu: float, en: float,
     vj_x = scene.u[j] + (-wyj * nz + wzj * ny) * a_j
     vj_y = scene.v[j] + (-wzj * nx + wxj * nz) * a_j
     vj_z = scene.w[j] + (-wxj * ny + wyj * nx) * a_j
-    # NOTE reference sign: vr = v_j - v_i here (:353-357)
-    vr_x, vr_y, vr_z = vj_x - vi_x, vj_y - vi_y, vj_z - vi_z
+    # NOTE: the reference's LVCForce (:353-381) uses vr = v_j - v_i and a
+    # NEGATIVE spring term (fn = -kn*overlap*n), i.e. an attractive
+    # normal force — that code is unreachable through the reference
+    # scheme (duplicated elif, :729/:750) and was clearly never run.  We
+    # use the same (repulsive) convention as LVCDisplacement.
+    vr_x, vr_y, vr_z = vi_x - vj_x, vi_y - vj_y, vi_z - vj_z
     vdotn = vr_x * nx + vr_y * ny + vr_z * nz
     vt_x = vr_x - vdotn * nx
     vt_y = vr_y - vdotn * ny
@@ -260,9 +264,8 @@ def lvc_force(scene, nbrs: NeighborList, dt, kn: float, mu: float, en: float,
 
     m_eff = scene.m[:, None] * scene.m[j] / (scene.m[:, None] + scene.m[j])
     eta_n = alpha * jnp.sqrt(m_eff)
-    fn_x = -kn * overlap * nx - eta_n * vdotn * nx
-    fn_y = -kn * overlap * ny - eta_n * vdotn * ny
-    fn_z = -kn * overlap * nz - eta_n * vdotn * nz
+    fn = kn * overlap - eta_n * vdotn
+    fn_x, fn_y, fn_z = fn * nx, fn * ny, fn * nz
 
     dem_j = scene.dem_id[j]
     found, slot_found = _match_slots(tng_idx, tng_dem, j, dem_j)
@@ -280,10 +283,13 @@ def lvc_force(scene, nbrs: NeighborList, dt, kn: float, mu: float, en: float,
     fy_s = jnp.where(found, tng_fy[rows, sf], 0.0) - kt * vt_y * dt
     fz_s = jnp.where(found, tng_fz[rows, sf], 0.0) - kt * vt_z * dt
 
+    # Coulomb cap (the reference's check at :485-489 compares a SQUARED
+    # magnitude against an unsquared one and divides by the square —
+    # we use the intended comparison)
     fn_magn = jnp.sqrt(fn_x**2 + fn_y**2 + fn_z**2)
     ft_magn = jnp.sqrt(fx_s**2 + fy_s**2 + fz_s**2)
     fn_mu = mu * fn_magn
-    slip = ft_magn >= fn_magn  # reference compares against fn_magn (:489)
+    slip = ft_magn >= fn_mu
     inv = jnp.where(ft_magn > 0, 1.0 / jnp.maximum(ft_magn, 1e-300), 0.0)
     fx_s = jnp.where(slip, fn_mu * fx_s * inv, fx_s)
     fy_s = jnp.where(slip, fn_mu * fy_s * inv, fy_s)

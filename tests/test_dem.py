@@ -75,3 +75,38 @@ def test_oblique_collision_generates_spin_and_tracks_contact():
     assert abs(float(np.asarray(s.wz)[0])) > 1e-3
     # linear momentum still conserved
     np.testing.assert_allclose(np.asarray(s.u).sum(), 0.0, atol=1e-8)
+
+
+def test_lvc_force_model_head_on():
+    """The LVCForce variant (tangential-force springs) conserves momentum
+    and produces a damped rebound (reference dem.py:296-505; unreachable
+    through the reference's scheme due to its duplicated elif — exposed
+    here as contact_model='LVCForce')."""
+    from rigid_body_2d_3d_pysph_tpu.models.dem import DEMScheme
+    from rigid_body_2d_3d_pysph_tpu.state import (
+        make_group, build_scene, ROLE_RIGID,
+    )
+
+    r = 0.1
+    x = np.array([-0.25, 0.25])
+    g = make_group("sand", x, np.zeros(2), m=1.0, h=2 * r, rho=1000.0,
+                   rad_s=r, role=ROLE_RIGID,
+                   body_id=np.arange(2, dtype=np.int32),
+                   dem_id=np.arange(2, dtype=np.int32))
+    scene = build_scene([g], dim=2, total_no_bodies=2, spacing0=r)
+    scheme = DEMScheme(granular_particles=["sand"], boundaries=[], dim=2,
+                       kn=1e5, en=0.5, contact_model="LVCForce")
+    scene = scheme.setup(scene)
+    scene = scene.replace(u=jnp.asarray(np.array([1.0, -1.0]),
+                                        scene.u.dtype))
+    step = scheme.make_step(scene)
+    multi = make_multi_step(step, 100)
+    dt = jnp.asarray(1e-4)
+    s = scene
+    for _ in range(30):
+        s = multi(s, dt)
+    u = np.asarray(s.u)
+    np.testing.assert_allclose(u[0] + u[1], 0.0, atol=1e-10)
+    assert u[0] < 0 and u[1] > 0
+    x = np.asarray(s.x)
+    assert x[1] - x[0] > 0.2
