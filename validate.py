@@ -132,6 +132,33 @@ def check_benchmark_5(case="benchmark_5_2d_two", tol_spacings=2.0,
     return dict(ok=bool(ok), max_com_displacement=float(d))
 
 
+def check_sinking_box():
+    res_path = os.path.join(HERE, "sinking_box_output", "results.npz")
+    if not os.path.exists(res_path):
+        return None
+    r = np.load(res_path)
+    y = r["y_com"]
+    # Sun 2015 3.1.2: the rho=2 box must sink smoothly (monotone within
+    # tolerance) and stay inside the fluid column
+    dy = np.diff(y)
+    ok = (y[-1] < y[0] - 0.5) and (dy.max() < 0.02) and np.isfinite(y).all()
+    return dict(ok=bool(ok), y0=float(y[0]), y_end=float(y[-1]),
+                max_rise=float(dy.max()))
+
+
+def check_dem_column_collapse():
+    res_path = os.path.join(HERE, "dem_column_collapse_output",
+                            "results.npz")
+    if not os.path.exists(res_path):
+        return None
+    r = np.load(res_path)
+    runout = r["runout"]
+    height = r["height"]
+    ok = (runout[-1] > 2.0 * runout[0]) and (height[-1] < 0.5 * height[0])
+    return dict(ok=bool(ok), runout=float(runout[-1]),
+                height=float(height[-1]))
+
+
 def check_stack_of_cylinders():
     res_path = os.path.join(HERE, "stack_of_cylinders_output", "results.npz")
     if not os.path.exists(res_path):
@@ -167,6 +194,8 @@ CHECKS = {
     "benchmark_5_3d_two": lambda: check_benchmark_5("benchmark_5_3d_two",
                                                     spacing=0.05),
     "stack_of_cylinders": check_stack_of_cylinders,
+    "sinking_box": check_sinking_box,
+    "dem_column_collapse": check_dem_column_collapse,
 }
 
 
