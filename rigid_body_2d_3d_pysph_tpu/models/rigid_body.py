@@ -301,11 +301,11 @@ def _particles_from_body_velocity(scene):
     bid = jnp.where(rigid, scene.body_id, 0)
     dx, dy, dz = rops.rotate_body_frame_vectors(
         scene.R, bid, scene.dx0, scene.dy0, scene.dz0)
-    om = scene.omega[bid]
+    om = rops.gather_body_rows(scene.omega, bid, scene.meta.nb)
     du = om[:, 1] * dz - om[:, 2] * dy
     dv = om[:, 2] * dx - om[:, 0] * dz
     dw = om[:, 0] * dy - om[:, 1] * dx
-    vcm = scene.vcm[bid]
+    vcm = rops.gather_body_rows(scene.vcm, bid, scene.meta.nb)
     return scene.replace(
         u=jnp.where(rigid, vcm[:, 0] + du, scene.u),
         v=jnp.where(rigid, vcm[:, 1] + dv, scene.v),
@@ -320,7 +320,7 @@ def _particles_from_body_position(scene):
     bid = jnp.where(rigid, scene.body_id, 0)
     dx, dy, dz = rops.rotate_body_frame_vectors(
         scene.R, bid, scene.dx0, scene.dy0, scene.dz0)
-    xcm = scene.xcm[bid]
+    xcm = rops.gather_body_rows(scene.xcm, bid, scene.meta.nb)
     nx, ny, nz = rops.rotate_body_frame_vectors(
         scene.R, bid, scene.normal0[:, 0], scene.normal0[:, 1],
         scene.normal0[:, 2])
@@ -373,7 +373,7 @@ def rigid_contact_force_eval_cell(scene, grid, cell_cfg, kernel, params, dt,
                                   extra_fx=None):
     """Stage-2 equation groups on the dense cell engine (same sequence as
     :func:`rigid_contact_force_eval`)."""
-    cfn_x, cfn_y, cfn_z, cfn_w, dinfo = ccops.contact_pipeline_cell(
+    cfn_x, cfn_y, cfn_z, cfn_w, dinfo = ccops.contact_pipeline_cell_fused(
         scene, grid, cell_cfg, kernel)
     fx, fy, fz = rops.body_force(scene, params["gx"], params["gy"],
                                  params["gz"], scene.is_rigid)

@@ -155,8 +155,10 @@ def contact_force(scene, dt, kr: float, kf: float, fric_coeff: float,
     vij_dot_n = vij_x * cfn_x + vij_y * cfn_y + vij_z * cfn_z
 
     # damping: eta[body_id(i), slot] * sqrt(m_i/2 * kr)   (:920-933)
+    from .rigid import gather_body_rows
     bid = jnp.clip(scene.body_id, 0, scene.meta.nb - 1)
-    eta = scene.eta[bid] * jnp.sqrt(scene.m[:, None] / 2.0 * kr)
+    eta = (gather_body_rows(scene.eta, bid, scene.meta.nb)
+           * jnp.sqrt(scene.m[:, None] / 2.0 * kr))
 
     tmp = kr * overlap
     fn_nx = (tmp - eta * vij_dot_n) * cfn_x

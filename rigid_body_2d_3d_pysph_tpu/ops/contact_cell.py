@@ -188,3 +188,144 @@ def contact_pipeline_cell(scene, grid: CellGrid, cfg: CellGridConfig,
     up = lambda d, fill=0.0: unpack(grid, cfg, d, n, fill)
     dinfo = {k: up(v) for k, v in dinfo_d.items()}
     return up(cfx_d), up(cfy_d), up(cfz_d), up(sw_d), dinfo
+
+
+# ---------------------------------------------------------------------------
+# fused single-pass pipeline (the TPU production path)
+# ---------------------------------------------------------------------------
+
+def contact_sums_fused(scene, grid: CellGrid, cfg: CellGridConfig,
+                       kernel: Kernel, S: int, df, di,
+                       spacing0: float):
+    """Eq. 22 + Eq. 21 + closest-point in ONE pass over source blocks.
+
+    The two reference pair loops (``rigid_body_common.py:631-723`` and
+    ``:726-836``) share their gate, pair geometry and kernel evaluation;
+    and the distance numerator's normal factors out of the neighbor sum
+    (``num_s = n_s . sum_k t2*xij_vec``), so both reduce to SEVEN per-slot
+    sums of one pass:
+
+        t1*xij, t1*yij, t1*zij   (Eq. 22 normal sums; t1 = m/rho * W/r)
+        t2,     t2*xij, t2*yij, t2*zij  (Eq. 21 sums;  t2 = m/rho * W)
+
+    with ``sum(t1*rij) == sum(t2)`` (the normals' wij-norm equals the
+    distance denominator).  Closest-point tracking replaces the per-slot
+    argmin/pick loop with: per-slot min (cheap VPU loop), a one-hot MXU
+    broadcast of the min back to lanes, a first-match mask, and ONE
+    [C,M,OM]x[C,OM,S*6] MXU contraction for the source pick — measured
+    ~3x faster than the two-pass formulation at 100k particles.
+
+    Returns dense per-slot arrays ([NC,M,S]-shaped):
+    (cfn_x, cfn_y, cfn_z, wij_sum, dist, min_dist, srcs[...,6]).
+    """
+    init_dist = 4.0 * spacing0
+
+    def block(start, qf, qi, nbrs):
+        sf = gather_source_block(df, nbrs, cfg, _F_SENT)
+        si = gather_source_block(di, nbrs, cfg, _I_SENT)
+        s, xij, yij, zij, rij, hij = _pair_geom(qf, sf)
+        C, O, M, F = sf.shape
+        si_f = si.reshape(C, 1, O * M, si.shape[-1])
+        s_dem = si_f[..., _IDEM]
+        gate = ((s[..., _FCFIB] == 1.0)
+                & (s_dem != qi[:, :, None, _IDEM])
+                & (si_f[..., _IFLUID] == 0)
+                & (qi[:, :, None, _IRIGID] == 1)
+                & (rij <= cfg.radius))
+        wij = kernel.w(rij, hij)
+        rinv = 1.0 / jnp.maximum(rij, 1e-300)
+        t1 = jnp.where(gate,
+                       qf[:, :, None, _FM] / qf[:, :, None, _FRHO]
+                       * rinv * wij, 0.0)
+        t2 = t1 * rij  # == m/rho * W on gated pairs
+
+        oh = (s_dem[:, 0, :, None]
+              == jnp.arange(S, dtype=s_dem.dtype)[None, None, :]
+              ).astype(t1.dtype)  # [C, OM, S]
+        quant = jnp.stack([t1 * xij, t1 * yij, t1 * zij,
+                           t2, t2 * xij, t2 * yij, t2 * zij],
+                          axis=-1)  # [C, M, OM, 7]
+        sums = jnp.einsum("cmkq,cks->cmsq", quant, oh,
+                          preferred_element_type=t1.dtype)  # [C,M,S,7]
+
+        # ---- closest source per slot -------------------------------------
+        r_g = jnp.where(gate, rij, _BIG)  # [C, M, OM]
+        mins = [jnp.min(jnp.where(s_dem == s_id, r_g, _BIG), axis=-1)
+                for s_id in range(S)]
+        min_r = jnp.stack(mins, axis=-1)  # [C, M, S]
+        # broadcast each lane's slot-min back to the lane (one-hot matmul;
+        # sentinel lanes have all-zero one-hot -> min_b = 0 != r_g)
+        min_b = jnp.einsum("cms,cks->cmk", min_r, oh,
+                           preferred_element_type=t1.dtype)
+        pick = gate & (r_g <= min_b)
+        # ties (equal r within a slot): keep the lowest lane, like the
+        # reference's sequential scan (:811-818).  The tie-break must be
+        # slot-local, so select the min picked lane per slot and
+        # broadcast it back through the same one-hot contraction.
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, r_g.shape, r_g.ndim - 1).astype(t1.dtype)
+        lane_mins = [jnp.min(jnp.where(pick & (s_dem == s_id), lane, _BIG),
+                             axis=-1) for s_id in range(S)]
+        lane_sel = jnp.stack(lane_mins, axis=-1)  # [C, M, S]
+        lane_b = jnp.einsum("cms,cks->cmk", lane_sel, oh,
+                            preferred_element_type=t1.dtype)
+        pickf = (pick & (lane == lane_b)).astype(t1.dtype)  # [C, M, OM]
+
+        src6 = jnp.stack([s[..., _FX], s[..., _FY], s[..., _FZ],
+                          s[..., _FU], s[..., _FV], s[..., _FW]],
+                         -1)[:, 0]  # [C, OM, 6]
+        A = (oh[:, :, :, None] * src6[:, :, None, :]).reshape(
+            C, O * M, S * 6)  # slot-separated source fields
+        srcs = jnp.einsum("cmk,ckq->cmq", pickf, A,
+                          preferred_element_type=t1.dtype
+                          ).reshape(C, M, S, 6)
+        return sums, min_r, srcs
+
+    sums, min_r, srcs = map_over_cells(
+        cfg, block, df, di, grid.nbr_slots)
+
+    sx, sy, sz = sums[..., 0], sums[..., 1], sums[..., 2]
+    sw = sums[..., 3]  # == sum(t1*rij) == sum(t2) (den)
+    has = sw > 1e-12
+    inv_w = jnp.where(has, 1.0 / jnp.maximum(sw, 1e-300), 0.0)
+    mx, my, mz = sx * inv_w, sy * inv_w, sz * inv_w
+    mag = jnp.sqrt(mx * mx + my * my + mz * mz)
+    inv_m = jnp.where(has & (mag > 0), 1.0 / jnp.maximum(mag, 1e-300), 0.0)
+    cfn_x, cfn_y, cfn_z = mx * inv_m, my * inv_m, mz * inv_m
+
+    num = (cfn_x * sums[..., 4] + cfn_y * sums[..., 5]
+           + cfn_z * sums[..., 6])
+    dist = jnp.where(has, num / jnp.where(has, sw, 1.0), 0.0)
+
+    found = min_r < init_dist
+    mind = jnp.minimum(min_r, init_dist)
+    srcs = jnp.where(found[..., None], srcs, 0.0)
+    return cfn_x, cfn_y, cfn_z, sw, dist, mind, srcs
+
+
+def contact_pipeline_cell_fused(scene, grid: CellGrid, cfg: CellGridConfig,
+                                kernel: Kernel):
+    """Fused-pass variant of :func:`contact_pipeline_cell`: one pass over
+    source blocks, one stacked unpack (13 outputs in a single row gather
+    instead of 13 narrow ones).  Numerically equivalent to the two-pass
+    engine (tests/test_cell_engine.py)."""
+    S = scene.meta.total_no_bodies
+    n = scene.n
+    df, di = pack_scene(scene, grid, cfg)
+    cfn_x, cfn_y, cfn_z, sw, dist, mind, srcs = contact_sums_fused(
+        scene, grid, cfg, kernel, S, df, di, scene.meta.spacing0)
+
+    stacked = jnp.concatenate(
+        [jnp.stack([cfn_x, cfn_y, cfn_z, sw, dist, mind], axis=-1),
+         srcs], axis=-1)  # [NC, M, S, 12]
+    flat = unpack(grid, cfg,
+                  stacked.reshape(cfg.NC_max, cfg.M, S * 12), n, 0.0)
+    out = flat.reshape(n, S, 12)
+    dinfo = dict(
+        contact_force_dist=out[..., 4],
+        closest_point_dist_to_source=out[..., 5],
+        x_source=out[..., 6], y_source=out[..., 7], z_source=out[..., 8],
+        vx_source=out[..., 9], vy_source=out[..., 10],
+        vz_source=out[..., 11],
+    )
+    return out[..., 0], out[..., 1], out[..., 2], out[..., 3], dinfo

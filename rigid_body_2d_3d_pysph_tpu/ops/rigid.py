@@ -17,6 +17,23 @@ import jax
 import jax.numpy as jnp
 
 
+def gather_body_rows(arr, bid, nb: int, valid=None):
+    """``arr[bid]`` for per-body state ``arr [B, ...]`` via a one-hot MXU
+    contraction.  Per-element gathers cost ~7 cycles/element on TPU; the
+    [N,B]x[B,F] matmul form is ~10x faster for the short rows (3/9/S wide)
+    of body state.  Exact: the one-hot row has a single 1, so the sum is
+    the gathered value bit-for-bit.  ``valid=False`` rows return zeros."""
+    n = bid.shape[0]
+    oh = bid[:, None] == jnp.arange(nb, dtype=bid.dtype)[None, :]
+    if valid is not None:
+        oh = oh & valid[:, None]
+    ohf = oh.astype(arr.dtype)
+    flat = arr.reshape(nb, -1)
+    out = jnp.einsum("nb,bf->nf", ohf, flat,
+                     preferred_element_type=arr.dtype)
+    return out.reshape((n,) + arr.shape[1:])
+
+
 def body_force(scene, gx: float, gy: float, gz: float, dest_mask):
     """f_i = m_i * g for destination particles; zero elsewhere.
 
@@ -42,10 +59,10 @@ def sum_up_external_forces(scene, fx, fy, fz):
     fy = jnp.where(rigid, fy, 0.0)
     fz = jnp.where(rigid, fz, 0.0)
 
-    xcm = scene.xcm  # [B, 3]
-    dx = scene.x - xcm[bid, 0]
-    dy = scene.y - xcm[bid, 1]
-    dz = scene.z - xcm[bid, 2]
+    xcm_p = gather_body_rows(scene.xcm, bid, nb)  # [N, 3]
+    dx = scene.x - xcm_p[:, 0]
+    dy = scene.y - xcm_p[:, 1]
+    dz = scene.z - xcm_p[:, 2]
 
     tx = dy * fz - dz * fy
     ty = dz * fx - dx * fz
@@ -100,7 +117,7 @@ def rotate_body_frame_vectors(R, bid, vx, vy, vz):
     This is the per-particle position rotation of every stepper stage
     (``rigid_body_3d.py:76-81`` and friends).
     """
-    Rb = R[bid]  # [N, 3, 3]
+    Rb = gather_body_rows(R, bid, R.shape[0])  # [N, 3, 3]
     dx = Rb[:, 0, 0] * vx + Rb[:, 0, 1] * vy + Rb[:, 0, 2] * vz
     dy = Rb[:, 1, 0] * vx + Rb[:, 1, 1] * vy + Rb[:, 1, 2] * vz
     dz = Rb[:, 2, 0] * vx + Rb[:, 2, 1] * vy + Rb[:, 2, 2] * vz

@@ -93,6 +93,36 @@ def test_cell_pipeline_matches_nklist():
                                    err_msg=k)
 
 
+def test_fused_pipeline_matches_two_pass():
+    """contact_pipeline_cell_fused (one pass over source blocks, MXU
+    closest-point) must reproduce the two-pass cell engine exactly."""
+    scene, dx = _scene()
+    kernel = QuinticSpline(dim=2)
+    cutoff = 3 * 1.3 * dx
+    cell_cfg = cellmod.config_from_positions(
+        np.asarray(scene.x), np.asarray(scene.y), np.asarray(scene.z),
+        cutoff, 2, cell_chunk=16)
+
+    @jax.jit
+    def run(scene):
+        grid = cellmod.build_cell_grid(scene.x, scene.y, scene.z,
+                                       scene.active, cell_cfg)
+        two = ccops.contact_pipeline_cell(scene, grid, cell_cfg, kernel)
+        fused = ccops.contact_pipeline_cell_fused(scene, grid, cell_cfg,
+                                                  kernel)
+        return grid.overflow, two, fused
+
+    ovf, (cx2, cy2, cz2, cw2, d2), (cxf, cyf, czf, cwf, df) = run(scene)
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(cxf), np.asarray(cx2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cyf), np.asarray(cy2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(czf), np.asarray(cz2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cwf), np.asarray(cw2), atol=1e-12)
+    for k in d2:
+        np.testing.assert_allclose(np.asarray(df[k]), np.asarray(d2[k]),
+                                   atol=1e-12, err_msg=k)
+
+
 def test_cell_step_matches_nklist_step():
     dx = 0.04
     xb, yb = get_2d_block(dx, 0.2, 0.2)
