@@ -68,7 +68,11 @@ def build_scene():
                                gy=-9.81, dim=2)
     # let the baseline run the engine that suits its platform (the dense
     # cell formulation is TPU-optimal; [N,K] lists suit the CPU better)
-    scheme.engine = os.environ.get("BENCH_ENGINE", "cell")
+    # TPU default: the fused Pallas pair kernel; the CPU baseline runs
+    # the XLA cell engine (Pallas is TPU-only).
+    default_engine = ("pallas" if os.environ.get("RB_TPU_PLATFORM") != "cpu"
+                      else "cell")
+    scheme.engine = os.environ.get("BENCH_ENGINE", default_engine)
     scene = scheme.setup(scene)
     return scheme, scene
 

@@ -110,8 +110,9 @@ class ZhangStackOfCylinders(Application):
         xd += xc.min() - xd.min() - self.dam_spacing * self.dam_layers
         yd += yc.min() - yd.min() - self.dam_spacing * self.dam_layers
 
-        # keep only the dam's inner surface layer near the action
-        # (the reference deletes interior + outer rows, :203-226)
+        # the full tank lattice is used as the dam (the reference trims
+        # interior + outer rows, :203-226 — a particle-count optimization
+        # only; contact physics sees just the surface layer either way)
         dam = make_group(
             "dam", xd, yd, m=m, h=self.h, rho=self.cylinder_rho,
             rad_s=self.dam_spacing / 2.0, role=ROLE_BOUNDARY,

@@ -50,7 +50,15 @@ class DEMScheme(Scheme):
         self.dt = None
         self.tf = None
         self.pfreq = 100
+        # "cell": dense cell-block engine (TPU-fast at 10^5+ grains);
+        # "nklist": padded [N,K] lists (reference problem sizes).
+        # LVCForce runs on nklist only (dormant in the reference too).
+        from .rigid_body import _default_engine
+        self.engine = _default_engine()
+        if self.engine == "pallas":  # no DEM Pallas kernel (yet)
+            self.engine = "cell"
         self._nbr_cfg: Optional[nbmod.NeighborConfig] = None
+        self._cell_cfg = None
 
     def add_user_options(self, group):
         group.add_argument("--contact-model", dest="contact_model",
@@ -115,11 +123,24 @@ class DEMScheme(Scheme):
         self._nbr_cfg = self.neighbor_config(scene, kernel.radius_scale)
         return scene
 
+    def cell_config(self, scene: Scene):
+        if self._cell_cfg is None:
+            from ..ops import cellpairs as cellmod
+            kernel = get_kernel(self.kernel_name, self.dim)
+            cutoff = float(kernel.radius_scale * np.asarray(scene.h).max())
+            self._cell_cfg = cellmod.config_from_positions(
+                np.asarray(scene.x), np.asarray(scene.y),
+                np.asarray(scene.z), cutoff, self.dim)
+        return self._cell_cfg
+
     def make_step(self, scene: Scene):
         if self._nbr_cfg is None:
             kernel = get_kernel(self.kernel_name, self.dim)
             self._nbr_cfg = self.neighbor_config(scene, kernel.radius_scale)
         cfg = self._nbr_cfg
+        use_cell = (self.engine == "cell"
+                    and self.contact_model == "LVCDisplacement")
+        cell_cfg = self.cell_config(scene) if use_cell else None
         gx, gy, gz = self.gx, self.gy, self.gz
         displacement = self.contact_model == "LVCDisplacement"
         kn, mu, en = self.kn, self.mu, self.en
@@ -148,28 +169,50 @@ class DEMScheme(Scheme):
             )
 
             # stage-2 equations: prune table, body force, LVC contact
-            nbrs = nbmod.build_neighbors(scene.x, scene.y, scene.z,
-                                         scene.active, cfg)
-            if displacement:
+            if use_cell:
+                from ..ops import cellpairs as cellmod
+                from ..ops import dem_cell as dcops
+                ti, td, ta, tb, tc, _ = dops.prune_contact_table(
+                    scene, scene.tng_idx, scene.tng_idx_dem_id,
+                    scene.tng_x, scene.tng_y, scene.tng_z)
+                grid = cellmod.build_cell_grid(scene.x, scene.y, scene.z,
+                                               scene.active, cell_cfg)
+                (cfx, cfy, cfz, tx_, ty_, tz_, ti, td, ta, tb, tc,
+                 cnt) = dcops.lvc_displacement_cell(
+                     scene, grid, cell_cfg, dt, ti, td, ta, tb, tc)
+                scene = scene.replace(tng_idx=ti, tng_idx_dem_id=td,
+                                      tng_x=ta, tng_y=tb, tng_z=tc,
+                                      total_tng_contacts=cnt,
+                                      nbr_overflow=(scene.nbr_overflow
+                                                    | grid.overflow))
+            elif displacement:
+                nbrs = nbmod.build_neighbors(scene.x, scene.y, scene.z,
+                                             scene.active, cfg)
                 ti, td, ta, tb, tc, _ = dops.prune_contact_table(
                     scene, scene.tng_idx, scene.tng_idx_dem_id,
                     scene.tng_x, scene.tng_y, scene.tng_z)
                 (cfx, cfy, cfz, tx_, ty_, tz_, ti, td, ta, tb, tc,
                  cnt) = dops.lvc_displacement(scene, nbrs, dt, ti, td, ta,
                                               tb, tc)
-                scene = scene.replace(tng_idx=ti, tng_idx_dem_id=td,
-                                      tng_x=ta, tng_y=tb, tng_z=tc,
-                                      total_tng_contacts=cnt)
+                scene = scene.replace(
+                    tng_idx=ti, tng_idx_dem_id=td,
+                    tng_x=ta, tng_y=tb, tng_z=tc,
+                    total_tng_contacts=cnt,
+                    nbr_overflow=scene.nbr_overflow | nbrs.overflow)
             else:
+                nbrs = nbmod.build_neighbors(scene.x, scene.y, scene.z,
+                                             scene.active, cfg)
                 ti, td, ta, tb, tc, _ = dops.prune_contact_table(
                     scene, scene.tng_idx, scene.tng_idx_dem_id,
                     scene.tng_fx, scene.tng_fy, scene.tng_fz)
                 (cfx, cfy, cfz, tx_, ty_, tz_, ti, td, ta, tb, tc,
                  cnt) = dops.lvc_force(scene, nbrs, dt, kn, mu, en, ti, td,
                                        ta, tb, tc)
-                scene = scene.replace(tng_idx=ti, tng_idx_dem_id=td,
-                                      tng_fx=ta, tng_fy=tb, tng_fz=tc,
-                                      total_tng_contacts=cnt)
+                scene = scene.replace(
+                    tng_idx=ti, tng_idx_dem_id=td,
+                    tng_fx=ta, tng_fy=tb, tng_fz=tc,
+                    total_tng_contacts=cnt,
+                    nbr_overflow=scene.nbr_overflow | nbrs.overflow)
             gmask = mobile & scene.active
             fx = jnp.where(gmask, scene.m * gx + cfx, 0.0)
             fy = jnp.where(gmask, scene.m * gy + cfy, 0.0)
@@ -179,7 +222,6 @@ class DEMScheme(Scheme):
                 torx=jnp.where(gmask, tx_, 0.0),
                 tory=jnp.where(gmask, ty_, 0.0),
                 torz=jnp.where(gmask, tz_, 0.0),
-                nbr_overflow=scene.nbr_overflow | nbrs.overflow,
             )
 
             # stage2 drift (:609-612)

@@ -61,15 +61,15 @@ SLOT_FIELDS = (
 
 
 def _default_engine() -> str:
-    """cell engine on accelerators, [N,K] lists on CPU (XLA:CPU prefers
-    the gather formulation; XLA:TPU the dense one).  Override with
-    RB_TPU_ENGINE."""
+    """Fused Pallas kernel on TPU (falls back to the XLA cell engine for
+    f64/non-quintic configs), [N,K] lists on CPU (XLA:CPU prefers the
+    gather formulation).  Override with RB_TPU_ENGINE."""
     import os
     env = os.environ.get("RB_TPU_ENGINE")
     if env:
         return env
     try:
-        return "cell" if jax.default_backend() == "tpu" else "nklist"
+        return "pallas" if jax.default_backend() == "tpu" else "nklist"
     except Exception:
         return "cell"
 
@@ -164,10 +164,15 @@ class _RigidBodySchemeBase(Scheme):
         self.gx, self.gy, self.gz = gx, gy, gz
         self.kernel_name = "quintic"
         self.integrator = "gtvf"  # or "rk2" (reference RK2RigidBody3DStep)
-        # "cell": dense cell-block engine (TPU-fast, bounded domain);
+        # "pallas": fused Pallas pair kernel (TPU production path);
+        # "cell": dense cell-block XLA engine (bounded domain);
         # "nklist": padded [N,K] neighbor lists (CPU-friendly, unbounded
         # domains).  Default follows the platform.
         self.engine = _default_engine()
+        # Verlet skin as a fraction of the cutoff: > 0 widens the bins by
+        # skin and rebuilds the grid only when some particle has moved
+        # more than skin/2 since the last build.
+        self.skin_factor = 0.0
         self.dt = None
         self.tf = None
         self.pfreq = 100
@@ -196,7 +201,7 @@ class _RigidBodySchemeBase(Scheme):
         kernel = get_kernel(self.kernel_name, self.dim)
         if identify_boundaries:
             names = self.rigid_bodies + self.boundaries
-            if self.engine == "cell":
+            if self.engine in ("cell", "pallas"):
                 scene = run_boundary_identification_cell(
                     scene, kernel, self.cell_config(scene, kernel), names)
             else:
@@ -209,6 +214,9 @@ class _RigidBodySchemeBase(Scheme):
             scene = scene.replace(
                 contact_force_is_boundary=jnp.asarray(
                     cfib, config.float_dtype()))
+        if self.engine in ("cell", "pallas") and self.skin_factor > 0:
+            scene = attach_grid_fields(scene,
+                                       self.cell_config(scene, kernel))
         return scene
 
     def set_linear_velocity(self, scene, vel):
@@ -222,8 +230,25 @@ class _RigidBodySchemeBase(Scheme):
             cutoff = float(kernel.radius_scale * np.asarray(scene.h).max())
             self._cell_cfg = cellmod.config_from_positions(
                 np.asarray(scene.x), np.asarray(scene.y),
-                np.asarray(scene.z), cutoff, self.dim)
+                np.asarray(scene.z), cutoff, self.dim,
+                skin=self.skin_factor * cutoff)
         return self._cell_cfg
+
+    def _cell_pipeline(self):
+        """Pair-pipeline for the cell layout: the Pallas kernel when
+        requested and supported (f32 + quintic), else the XLA fused
+        engine."""
+        if self.engine == "pallas":
+            try:
+                on_tpu = jax.default_backend() == "tpu"
+            except Exception:
+                on_tpu = False
+            if (on_tpu and config.float_dtype() == jnp.float32
+                    and self.kernel_name == "quintic"):
+                from ..ops import pallas_contact as pcops
+                return pcops.contact_pipeline_cell_pallas
+            # unsupported configuration: XLA fused engine (same physics)
+        return ccops.contact_pipeline_cell_fused
 
     # -- the fused step ---------------------------------------------------
     def make_step(self, scene: Scene):
@@ -236,9 +261,10 @@ class _RigidBodySchemeBase(Scheme):
                                                      kernel.radius_scale)
             return build_rigid_rk2_step(kernel, self._nbr_cfg, params,
                                         self.two_d)
-        if self.engine == "cell":
+        if self.engine in ("cell", "pallas"):
             return build_rigid_gtvf_step_cell(
-                kernel, self.cell_config(scene, kernel), params, self.two_d)
+                kernel, self.cell_config(scene, kernel), params, self.two_d,
+                pipeline=self._cell_pipeline())
         if self._nbr_cfg is None:
             self._nbr_cfg = self.neighbor_config(scene, kernel.radius_scale)
         return build_rigid_gtvf_step(kernel, self._nbr_cfg, params,
@@ -370,10 +396,13 @@ def rigid_contact_force_eval(scene, nbrs, kernel, params, dt,
 
 
 def rigid_contact_force_eval_cell(scene, grid, cell_cfg, kernel, params, dt,
-                                  extra_fx=None):
+                                  extra_fx=None, pipeline=None):
     """Stage-2 equation groups on the dense cell engine (same sequence as
-    :func:`rigid_contact_force_eval`)."""
-    cfn_x, cfn_y, cfn_z, cfn_w, dinfo = ccops.contact_pipeline_cell_fused(
+    :func:`rigid_contact_force_eval`).  ``pipeline`` selects the pair
+    engine (XLA fused by default; the Pallas kernel via engine="pallas")."""
+    if pipeline is None:
+        pipeline = ccops.contact_pipeline_cell_fused
+    cfn_x, cfn_y, cfn_z, cfn_w, dinfo = pipeline(
         scene, grid, cell_cfg, kernel)
     fx, fy, fz = rops.body_force(scene, params["gx"], params["gy"],
                                  params["gz"], scene.is_rigid)
@@ -400,7 +429,50 @@ def rigid_contact_force_eval_cell(scene, grid, cell_cfg, kernel, params, dt,
     )
 
 
-def build_rigid_gtvf_step_cell(kernel, cell_cfg, params: dict, two_d: bool):
+def attach_grid_fields(scene: Scene, cell_cfg) -> Scene:
+    """Verlet-skin support: carry the cell grid + build-time positions in
+    the Scene so the step can skip rebuilds while displacements stay
+    under skin/2."""
+    grid = jax.jit(lambda s: cellmod.build_cell_grid(
+        s.x, s.y, s.z, s.active, cell_cfg))(scene)
+    return scene.with_fields(
+        g_slot2p=grid.slot2p, g_dense_pos=grid.dense_pos,
+        g_nbr_slots=grid.nbr_slots, g_n_occ=grid.n_occupied,
+        g_overflow=grid.overflow,
+        g_xb=scene.x, g_yb=scene.y, g_zb=scene.z)
+
+
+def _grid_for_step(scene: Scene, cell_cfg):
+    """Current grid for the force evaluation: a fresh build (skin == 0)
+    or the carried grid, rebuilt only past the skin/2 displacement bound
+    (``lax.cond`` — both branches compiled once)."""
+    if cell_cfg.skin <= 0.0:
+        grid = cellmod.build_cell_grid(scene.x, scene.y, scene.z,
+                                       scene.active, cell_cfg)
+        return scene, grid
+
+    d2 = ((scene.x - scene.g_xb) ** 2 + (scene.y - scene.g_yb) ** 2
+          + (scene.z - scene.g_zb) ** 2)
+    max_d2 = jnp.max(jnp.where(scene.active, d2, 0.0))
+    need = max_d2 > (0.5 * cell_cfg.skin) ** 2
+
+    def rebuild(s):
+        g = cellmod.build_cell_grid(s.x, s.y, s.z, s.active, cell_cfg)
+        return s.replace(g_slot2p=g.slot2p, g_dense_pos=g.dense_pos,
+                         g_nbr_slots=g.nbr_slots, g_n_occ=g.n_occupied,
+                         g_overflow=g.overflow, g_xb=s.x, g_yb=s.y,
+                         g_zb=s.z)
+
+    scene = jax.lax.cond(need, rebuild, lambda s: s, scene)
+    grid = cellmod.CellGrid(
+        slot2p=scene.g_slot2p, dense_pos=scene.g_dense_pos,
+        nbr_slots=scene.g_nbr_slots, n_occupied=scene.g_n_occ,
+        overflow=scene.g_overflow)
+    return scene, grid
+
+
+def build_rigid_gtvf_step_cell(kernel, cell_cfg, params: dict, two_d: bool,
+                               pipeline=None):
     """GTVF timestep on the dense cell engine (the TPU production path)."""
 
     @jax.jit
@@ -408,10 +480,9 @@ def build_rigid_gtvf_step_cell(kernel, cell_cfg, params: dict, two_d: bool):
         scene = _body_half_kick(scene, dt, two_d)
         scene = _particles_from_body_velocity(scene)
 
-        grid = cellmod.build_cell_grid(scene.x, scene.y, scene.z,
-                                       scene.active, cell_cfg)
+        scene, grid = _grid_for_step(scene, cell_cfg)
         scene = rigid_contact_force_eval_cell(scene, grid, cell_cfg, kernel,
-                                              params, dt)
+                                              params, dt, pipeline=pipeline)
         scene = scene.replace(nbr_overflow=scene.nbr_overflow | grid.overflow)
 
         scene = _body_drift(scene, dt, two_d)

@@ -39,7 +39,7 @@ import numpy as np
 
 @dataclass(frozen=True)
 class CellGridConfig:
-    cell: float                  # bin size (cutoff / sub)
+    cell: float                  # bin size ((cutoff + skin) / sub)
     M: int                       # max particles per cell (padded lanes)
     NC_max: int                  # max occupied cells (static)
     origin: tuple                # grid AABB min corner (3,)
@@ -48,6 +48,8 @@ class CellGridConfig:
     cell_chunk: int = 512        # cells processed per map step
     cutoff: float = 0.0          # interaction radius (defaults to cell)
     sub: int = 1                 # bins per cutoff (stencil radius)
+    skin: float = 0.0            # Verlet skin: grid rebuilt only when
+    #                              max displacement since build > skin/2
 
     @property
     def radius(self) -> float:
@@ -70,12 +72,15 @@ def config_from_positions(x, y, z, cutoff: float, dim: int,
                           nc_factor: float = 1.6,
                           occupancy_safety: float = 1.5,
                           sub: int = 1,
-                          cell_chunk: int = 512) -> CellGridConfig:
+                          cell_chunk: int = 512,
+                          skin: float = 0.0) -> CellGridConfig:
     """Host-side: bound the domain from initial positions with ``slack``
     x extent margins; size M from measured occupancy and NC_max from the
     occupied-cell count.  ``sub`` bins per cutoff trades a wider stencil
-    ((2*sub+1)^dim cells) for tighter candidate sets."""
-    cell = float(cutoff) / sub
+    ((2*sub+1)^dim cells) for tighter candidate sets.  ``skin`` widens
+    the bins so the grid stays valid until any particle has moved more
+    than skin/2 since the build (Verlet-list reuse)."""
+    cell = (float(cutoff) + float(skin)) / sub
     x = np.asarray(x); y = np.asarray(y); z = np.asarray(z)
     pts = [x, y] + ([z] if dim == 3 else [])
     lo = np.array([p.min() for p in pts])
@@ -106,7 +111,7 @@ def config_from_positions(x, y, z, cutoff: float, dim: int,
     return CellGridConfig(cell=cell, M=int(M), NC_max=NC_max,
                           origin=origin, dims=dims, dim=dim,
                           cell_chunk=cell_chunk, cutoff=float(cutoff),
-                          sub=sub)
+                          sub=sub, skin=float(skin))
 
 
 class CellGrid(NamedTuple):

@@ -99,48 +99,41 @@ def _allocate_slots(free_mask, new_mask):
     return slot
 
 
-def lvc_displacement(scene, nbrs: NeighborList, dt,
-                     tng_idx, tng_dem, tng_x, tng_y, tng_z):
-    """LVC force with tangential-displacement springs (reference :44-205).
+def lvc_displacement_core(q, s, xij, yij, zij, rij, cand, j, dem_j, dt,
+                          kn, kt, alpha, mu,
+                          tng_idx, tng_dem, tng_x, tng_y, tng_z):
+    """Layout-agnostic LVC-displacement pair pass (reference :44-205).
 
-    Per-entity material tables (indexed by SOURCE dem id, as the
-    reference's ``d_kn[s_dem_id]`` etc.): scene fields ``dem_kn, dem_kt,
-    dem_alpha, dem_mu`` of length >= max dem id + 1.
+    ``q``: dict of [R, 1] query columns (u,v,w,wx,wy,wz,rad,m);
+    ``s``: dict of [R, K] source fields (same keys); ``cand``: [R, K]
+    candidate validity (self-pairs already excluded); material arrays
+    [R, K] gathered by source dem id.  Shared by the [N, K] neighbor-list
+    engine and the dense cell engine (rows = flattened cell lanes).
 
-    Returns (fx, fy, fz, torx, tory, torz, new table arrays).
+    Returns per-pair force/torque sums [R] + the updated contact table.
     """
-    pd = pair_data(scene, nbrs)
-    j = pd.j
-    not_self = j != jnp.arange(scene.n)[:, None]
-    overlap = scene.rad_s[:, None] + scene.rad_s[j] - pd.rij
-    gate = pd.mask & not_self & (pd.rij > 0) & (overlap > 0)
+    overlap = q["rad"] + s["rad"] - rij
+    gate = cand & (rij > 0) & (overlap > 0)
 
-    rinv = 1.0 / jnp.maximum(pd.rij, 1e-300)
-    nx, ny, nz = pd.xij * rinv, pd.yij * rinv, pd.zij * rinv
+    rinv = 1.0 / jnp.maximum(rij, 1e-300)
+    nx, ny, nz = xij * rinv, yij * rinv, zij * rinv
 
     # contact-point velocities incl. rotation (:73-91)
-    a_i = scene.rad_s[:, None] - overlap / 2.0
-    a_j = scene.rad_s[j] - overlap / 2.0
-    wxi, wyi, wzi = scene.wx[:, None], scene.wy[:, None], scene.wz[:, None]
-    wxj, wyj, wzj = scene.wx[j], scene.wy[j], scene.wz[j]
-    vi_x = scene.u[:, None] + (wyi * nz - wzi * ny) * a_i
-    vi_y = scene.v[:, None] + (wzi * nx - wxi * nz) * a_i
-    vi_z = scene.w[:, None] + (wxi * ny - wyi * nx) * a_i
-    vj_x = scene.u[j] + (-wyj * nz + wzj * ny) * a_j
-    vj_y = scene.v[j] + (-wzj * nx + wxj * nz) * a_j
-    vj_z = scene.w[j] + (-wxj * ny + wyj * nx) * a_j
+    a_i = q["rad"] - overlap / 2.0
+    a_j = s["rad"] - overlap / 2.0
+    vi_x = q["u"] + (q["wy"] * nz - q["wz"] * ny) * a_i
+    vi_y = q["v"] + (q["wz"] * nx - q["wx"] * nz) * a_i
+    vi_z = q["w"] + (q["wx"] * ny - q["wy"] * nx) * a_i
+    vj_x = s["u"] + (-s["wy"] * nz + s["wz"] * ny) * a_j
+    vj_y = s["v"] + (-s["wz"] * nx + s["wx"] * nz) * a_j
+    vj_z = s["w"] + (-s["wx"] * ny + s["wy"] * nx) * a_j
     vij_x, vij_y, vij_z = vi_x - vj_x, vi_y - vj_y, vi_z - vj_z
     vdotn = vij_x * nx + vij_y * ny + vij_z * nz
     vt_x = vij_x - vdotn * nx
     vt_y = vij_y - vdotn * ny
     vt_z = vij_z - vdotn * nz
 
-    dem_j = scene.dem_id[j]
-    kn = scene.dem_kn[dem_j]
-    kt = scene.dem_kt[dem_j]
-    alpha = scene.dem_alpha[dem_j]
-    mu = scene.dem_mu[dem_j]
-    m_eff = scene.m[:, None] * scene.m[j] / (scene.m[:, None] + scene.m[j])
+    m_eff = q["m"] * s["m"] / (q["m"] + s["m"])
     eta_n = alpha * jnp.sqrt(m_eff)
 
     fn = kn * overlap - eta_n * vdotn  # (:112)
@@ -153,8 +146,8 @@ def lvc_displacement(scene, nbrs: NeighborList, dt,
     free = tng_idx < 0
     slot_new = _allocate_slots(free, new_mask)
 
-    n = scene.n
-    rows = jnp.broadcast_to(jnp.arange(n)[:, None], j.shape)
+    R = j.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(R)[:, None], j.shape)
 
     # spring state of found pairs, projected onto the current plane (:156-161)
     sf = jnp.clip(slot_found, 0, tng_x.shape[1] - 1)
@@ -220,7 +213,47 @@ def lvc_displacement(scene, nbrs: NeighborList, dt,
     tory = gsum((nz * ft_x - nx * ft_z) * a_i)
     torz = gsum((nx * ft_y - ny * ft_x) * a_i)
     count = jnp.sum(tng_idx >= 0, axis=1).astype(jnp.int32)
-    return fx, fy, fz, torx, tory, torz, tng_idx, tng_dem, tng_x, tng_y, tng_z, count
+    return (fx, fy, fz, torx, tory, torz,
+            tng_idx, tng_dem, tng_x, tng_y, tng_z, count)
+
+
+def _material_rows(dem_j, table):
+    """table[dem_j] without per-element gathers: the entity count is tiny
+    and static, so a where-accumulate loop stays on the VPU."""
+    out = jnp.zeros(dem_j.shape, table.dtype)
+    for e in range(table.shape[0]):
+        out = jnp.where(dem_j == e, table[e], out)
+    return out
+
+
+def lvc_displacement(scene, nbrs: NeighborList, dt,
+                     tng_idx, tng_dem, tng_x, tng_y, tng_z):
+    """LVC force with tangential-displacement springs (reference :44-205)
+    on the padded [N, K] neighbor-list engine.
+
+    Per-entity material tables (indexed by SOURCE dem id, as the
+    reference's ``d_kn[s_dem_id]`` etc.): scene fields ``dem_kn, dem_kt,
+    dem_alpha, dem_mu`` of length >= max dem id + 1.
+
+    Returns (fx, fy, fz, torx, tory, torz, new table arrays).
+    """
+    pd = pair_data(scene, nbrs)
+    j = pd.j
+    not_self = j != jnp.arange(scene.n)[:, None]
+    cand = pd.mask & not_self
+    dem_j = scene.dem_id[j]
+    q = dict(u=scene.u[:, None], v=scene.v[:, None], w=scene.w[:, None],
+             wx=scene.wx[:, None], wy=scene.wy[:, None],
+             wz=scene.wz[:, None], rad=scene.rad_s[:, None],
+             m=scene.m[:, None])
+    s = dict(u=scene.u[j], v=scene.v[j], w=scene.w[j],
+             wx=scene.wx[j], wy=scene.wy[j], wz=scene.wz[j],
+             rad=scene.rad_s[j], m=scene.m[j])
+    return lvc_displacement_core(
+        q, s, pd.xij, pd.yij, pd.zij, pd.rij, cand, j, dem_j, dt,
+        scene.dem_kn[dem_j], scene.dem_kt[dem_j],
+        scene.dem_alpha[dem_j], scene.dem_mu[dem_j],
+        tng_idx, tng_dem, tng_x, tng_y, tng_z)
 
 
 def lvc_force(scene, nbrs: NeighborList, dt, kn: float, mu: float, en: float,

@@ -1,0 +1,250 @@
+"""Fused Pallas TPU kernel for the full contact pair pipeline.
+
+One kernel program per occupied cell computes, entirely in VMEM, what
+the XLA cell engine spreads over two HBM-materialized passes
+(``contact_cell.contact_sums_fused``): the Mofidi Eq. 22 normal sums,
+the Eq. 21 distance sums, and the per-slot closest-point pick
+(reference pair loops ``code/rigid_body_common.py:631-723`` and
+``:726-836``).  The XLA formulation streams ~200 MB of [C, M, OM]
+intermediates through HBM per cell chunk (quant tensors, one-hot
+broadcasts, pick masks); here every pair matrix lives in registers/VMEM
+and HBM sees only the packed inputs and the [NC, M, 14*S] output.
+
+Layout (per cell program, all f32):
+
+* queries along SUBLANES — pair matrices are ``[M, OM]`` with M the
+  cell capacity (multiple of 8, no sublane padding) and OM = O*M the
+  stencil lanes,
+* query block   ``[M, F]``  (BlockSpec over the packed ``[NC, M, F]``),
+* source block  ``[F, OM]`` (fields as lane rows), pre-gathered by XLA
+  through the grid's neighbor-slot table,
+* slot reductions as TWO MXU contractions per cell, both with the
+  one-hot right operand built lane-oriented (no transposes):
+  1. ``[7M, OM] x [S, OM]^T`` — the seven per-pair quantities
+     (t1*xij..t2*zij) against the source-entity one-hot,
+  2. ``[M, OM] x [6S, OM]^T``  — closest-source field pick.
+  The per-slot min/tie-break broadcasts are S-step select-accumulates
+  (VPU), not contractions.
+* unoccupied tail cells (slot >= n_occupied, the NC_max slack) skip all
+  compute through a scalar-prefetch bound and write zeros.
+
+Equivalence to the XLA engines is covered by
+tests/test_pallas_contact.py (interpret mode on CPU) and on-TPU by the
+validation/bench runs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .cellpairs import CellGrid, CellGridConfig, gather_source_block
+from .kernels import Kernel
+
+_BIG = 1.0e9
+
+# packed f32 field order (shared with the host-side pack below)
+(_FX, _FY, _FZ, _FU, _FV, _FW, _FM, _FRHO, _FH, _FCFIB, _FDEM, _FFLUID,
+ _FRIGID) = range(13)
+_NF = 13
+_SENT = [_BIG, _BIG, _BIG, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 0.0, -1.0, 0.0,
+         0.0]
+
+
+def pack_for_contact(scene, grid: CellGrid, cfg: CellGridConfig):
+    """[NC_max, M, F] f32 query/source pack (sentinel lanes gate to
+    zero)."""
+    from .cellpairs import pack_fields
+
+    fdt = scene.x.dtype
+    dense = pack_fields(
+        grid, cfg,
+        [scene.x, scene.y, scene.z, scene.u, scene.v, scene.w,
+         scene.m, scene.rho, scene.h, scene.contact_force_is_boundary,
+         scene.dem_id.astype(fdt), scene.is_fluid.astype(fdt),
+         scene.is_rigid.astype(fdt)],
+        _SENT)
+    return dense.astype(jnp.float32)
+
+
+def _kernel(S, M, cutoff, kernel: Kernel, n_occ_ref, q_ref, sl_ref,
+            out_ref):
+    c = pl.program_id(0)
+
+    def compute():
+        q = q_ref[0]      # [M, F]
+        sL = sl_ref[0]    # [F, OM]
+
+        def qcol(f):
+            return q[:, f:f + 1]          # [M, 1]
+
+        def srow(f):
+            return sL[f:f + 1, :]         # [1, OM]
+
+        # ---- pair geometry [M, OM] ----------------------------------------
+        xij = qcol(_FX) - srow(_FX)
+        yij = qcol(_FY) - srow(_FY)
+        zij = qcol(_FZ) - srow(_FZ)
+        rij = jnp.sqrt(xij * xij + yij * yij + zij * zij)
+        hij = 0.5 * (qcol(_FH) + srow(_FH))
+        wij = kernel.w(rij, hij)
+
+        s_dem = srow(_FDEM)
+        gate = ((srow(_FCFIB) == 1.0)
+                & (s_dem != qcol(_FDEM))
+                & (srow(_FFLUID) == 0.0)
+                & (qcol(_FRIGID) == 1.0)
+                & (rij <= cutoff))
+        rinv = 1.0 / jnp.maximum(rij, 1e-30)
+        t1 = jnp.where(gate, qcol(_FM) / qcol(_FRHO) * rinv * wij, 0.0)
+        t2 = t1 * rij
+
+        # ---- slot sums: one MXU contraction -------------------------------
+        # direct per-pair quantities (like the XLA engine) — a factored
+        # sum(t*xij) = xq*sum(t) - sum(t*xs) form is ~25% cheaper but
+        # amplifies f32 cancellation on the near-zero normal components
+        oh_rows = [s_dem == float(s_id) for s_id in range(S)]  # [1, OM]
+        ohT = jnp.concatenate(
+            [jnp.where(m, 1.0, 0.0) for m in oh_rows], axis=0)  # [S, OM]
+        quant = jnp.concatenate(
+            [t1 * xij, t1 * yij, t1 * zij, t2,
+             t2 * xij, t2 * yij, t2 * zij], axis=0)  # [7M, OM]
+        sums = jax.lax.dot_general(
+            quant, ohT,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [7M, S]
+        q0 = sums[0 * M:1 * M]                      # sum(t1*xij)
+        q1 = sums[1 * M:2 * M]                      # sum(t1*yij)
+        q2 = sums[2 * M:3 * M]                      # sum(t1*zij)
+        q3 = sums[3 * M:4 * M]                      # sum(t2)==sum(t1*rij)
+        q4 = sums[4 * M:5 * M]                      # sum(t2*xij)
+        q5 = sums[5 * M:6 * M]
+        q6 = sums[6 * M:7 * M]
+
+        # ---- closest source per slot ---------------------------------------
+        r_g = jnp.where(gate, rij, _BIG)  # [M, OM]
+        lane = jax.lax.broadcasted_iota(jnp.int32, r_g.shape, 1
+                                        ).astype(jnp.float32)
+        mins, min_b = [], jnp.full_like(r_g, _BIG)
+        for s_id, m in enumerate(oh_rows):
+            mn = jnp.min(jnp.where(m, r_g, _BIG), axis=1, keepdims=True)
+            mins.append(mn)
+            min_b = jnp.where(m, mn, min_b)  # [M, OM] select-accumulate
+        min_r = jnp.concatenate(mins, axis=1)  # [M, S]
+        pick = gate & (r_g <= min_b)
+        lane_b = jnp.zeros_like(r_g)
+        for m in oh_rows:
+            ls = jnp.min(jnp.where(pick & m, lane, _BIG), axis=1,
+                         keepdims=True)
+            lane_b = jnp.where(m, ls, lane_b)
+        pickf = jnp.where(pick & (lane == lane_b), 1.0, 0.0)
+
+        A = jnp.concatenate(
+            [srow(f) * ohT for f in (_FX, _FY, _FZ, _FU, _FV, _FW)],
+            axis=0)  # [6S, OM]
+        srcs = jax.lax.dot_general(
+            pickf, A, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [M, 6S]
+
+        return jnp.concatenate(
+            [q0, q1, q2, q3, q4, q5, q6, min_r, srcs], axis=1)  # [M,14S]
+
+    def inactive():
+        # unoccupied slack slot: zero sums, min at sentinel distance
+        return jnp.concatenate(
+            [jnp.zeros((M, 7 * S), jnp.float32),
+             jnp.full((M, S), _BIG, jnp.float32),
+             jnp.zeros((M, 6 * S), jnp.float32)], axis=1)
+
+    out_ref[0] = jax.lax.cond(c < n_occ_ref[0], compute, inactive)
+
+
+def contact_sums_pallas(df, src_l, n_occ, cfg: CellGridConfig,
+                        kernel: Kernel, S: int, interpret: bool = False):
+    """Raw per-slot sums for every cell: [NC, M, 14S] f32 with the layout
+    documented in :func:`_kernel` (7 sums, min_r, 6 source picks, each an
+    [NC, M, S] block along the last axis)."""
+    NC, M, F = df.shape
+    OM = src_l.shape[-1]
+    kern = functools.partial(_kernel, S, M, cfg.radius, kernel)
+    W = 14 * S
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((1, M, F), lambda c, n: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, OM), lambda c, n: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, M, W), lambda c, n: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NC, M, W), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(n_occ, jnp.int32).reshape(1), df, src_l)
+
+
+def contact_pipeline_cell_pallas(scene, grid: CellGrid,
+                                 cfg: CellGridConfig, kernel: Kernel,
+                                 interpret: bool = False):
+    """Drop-in replacement for ``contact_cell.contact_pipeline_cell_fused``
+    running the pair pipeline in the fused Pallas kernel.  Same outputs
+    ([N,S] cfn_x/y/z, wij, dist_info) in original particle order."""
+    from .cellpairs import unpack
+
+    S = scene.meta.total_no_bodies
+    n = scene.n
+    init_dist = 4.0 * scene.meta.spacing0
+
+    df = pack_for_contact(scene, grid, cfg)            # [NC, M, F]
+    src = gather_source_block(df, grid.nbr_slots, cfg,
+                              _SENT)                   # [NC, O, M, F]
+    NC, O, M, F = src.shape
+    src_l = jnp.swapaxes(src.reshape(NC, O * M, F), 1, 2)  # [NC, F, OM]
+
+    out = contact_sums_pallas(df, src_l, grid.n_occupied, cfg, kernel, S,
+                              interpret=interpret)     # [NC, M, 14S]
+    out = out.astype(scene.x.dtype)
+
+    sums = out[..., 0:7 * S].reshape(NC, M, 7, S)
+    min_r = out[..., 7 * S:8 * S]
+    srcs = out[..., 8 * S:14 * S].reshape(NC, M, 6, S)
+
+    sx, sy, sz = sums[:, :, 0], sums[:, :, 1], sums[:, :, 2]
+    sw = sums[:, :, 3]
+    has = sw > 1e-12
+    inv_w = jnp.where(has, 1.0 / jnp.maximum(sw, 1e-30), 0.0)
+    mx, my, mz = sx * inv_w, sy * inv_w, sz * inv_w
+    mag = jnp.sqrt(mx * mx + my * my + mz * mz)
+    inv_m = jnp.where(has & (mag > 0), 1.0 / jnp.maximum(mag, 1e-30), 0.0)
+    cfn_x, cfn_y, cfn_z = mx * inv_m, my * inv_m, mz * inv_m
+
+    num = (cfn_x * sums[:, :, 4] + cfn_y * sums[:, :, 5]
+           + cfn_z * sums[:, :, 6])
+    dist = jnp.where(has, num / jnp.where(has, sw, 1.0), 0.0)
+
+    found = min_r < init_dist
+    mind = jnp.minimum(min_r, init_dist)
+    srcs = jnp.where(found[:, :, None, :], srcs, 0.0)
+
+    stacked = jnp.concatenate(
+        [jnp.stack([cfn_x, cfn_y, cfn_z, sw, dist, mind], axis=2),
+         srcs], axis=2)  # [NC, M, 12, S]
+    flat = unpack(grid, cfg, stacked.reshape(NC, M, 12 * S), n, 0.0)
+    outp = flat.reshape(n, 12, S)
+    dinfo = dict(
+        contact_force_dist=outp[:, 4],
+        closest_point_dist_to_source=outp[:, 5],
+        x_source=outp[:, 6], y_source=outp[:, 7], z_source=outp[:, 8],
+        vx_source=outp[:, 9], vy_source=outp[:, 10],
+        vz_source=outp[:, 11],
+    )
+    return outp[:, 0], outp[:, 1], outp[:, 2], outp[:, 3], dinfo

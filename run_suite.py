@@ -33,6 +33,8 @@ MATRIX = {
         "benchmark_3_multiple_rigid_bodies_colliding_same_particle_array.py", []),
     "benchmark_4_en_1.0": ("benchmark_4_rigid_cube_bouncing_on_a_wall.py",
                            ["--coeff-of-restitution", "1.0"]),
+    "benchmark_4_en_0.8": ("benchmark_4_rigid_cube_bouncing_on_a_wall.py",
+                           ["--coeff-of-restitution", "0.8"]),
     "benchmark_4_en_0.5": ("benchmark_4_rigid_cube_bouncing_on_a_wall.py",
                            ["--coeff-of-restitution", "0.5"]),
     "benchmark_5_2d_two": ("benchmark_5_steady_cubes_on_a_wall_2d.py",
@@ -45,6 +47,10 @@ MATRIX = {
                            ["--one-cube"]),
     "benchmark_5_3d_two": ("benchmark_5_steady_cubes_on_a_wall_3d.py",
                            ["--two-cubes"]),
+    "benchmark_5_3d_three": ("benchmark_5_steady_cubes_on_a_wall_3d.py",
+                             ["--three-cubes"]),
+    "benchmark_5_3d_pyramid": ("benchmark_5_steady_cubes_on_a_wall_3d.py",
+                               ["--pyramid-cubes"]),
     "stack_of_cylinders": ("stack_of_cylinders.py", []),
     "stack_of_cylinders_test_1": ("stack_of_cylinders_test_1.py", []),
     "sinking_box": ("rigid_body_rotating_and_sinking_in_tank_2d.py", []),

@@ -76,6 +76,12 @@ def main():
         s, g, cfg, kernel))
     timeit(fusedu, scene, grid, name="fused pipeline incl. pack+unpack")
 
+    if os.environ.get("PROFILE_PALLAS", "1") == "1":
+        from rigid_body_2d_3d_pysph_tpu.ops import pallas_contact as pcops
+        pp = jax.jit(lambda s, g: pcops.contact_pipeline_cell_pallas(
+            s, g, cfg, kernel))
+        timeit(pp, scene, grid, name="PALLAS pipeline incl. pack+unpack")
+
     def unpack_all(g, cfx, cfy, cfz, sw, dinfo_d):
         up = lambda d, fill=0.0: cellmod.unpack(g, cfg, d, scene.n, fill)
         dinfo = {k: up(v) for k, v in dinfo_d.items()}

@@ -162,6 +162,71 @@ def test_cell_step_matches_nklist_step():
                                np.asarray(sc_n.force), atol=1e-7)
 
 
+def test_verlet_skin_matches_no_skin():
+    """skin > 0 (grid reused across steps, rebuilt past the skin/2
+    displacement bound) must reproduce the every-step-rebuild
+    trajectory: the widened bins only ADD candidates beyond the cutoff,
+    which the rij <= cutoff gate discards."""
+    dx = 0.04
+    xb, yb = get_2d_block(dx, 0.2, 0.2)
+    x = np.concatenate([xb, xb + 0.2 + 0.6 * dx])
+    y = np.concatenate([yb, yb])
+    bid = np.concatenate([np.zeros(len(xb), np.int32),
+                          np.ones(len(xb), np.int32)])
+    xw = np.arange(-8, 20) * dx
+    yw = np.full(len(xw), yb.min() - 0.7 * dx)  # wall at rest distance
+    m = 2000 * dx * dx
+    body = make_group("body", x, y, m=m, h=1.3 * dx, rho=2000.0,
+                      rad_s=dx / 2, role=ROLE_RIGID, body_id=bid, dem_id=bid)
+    wall = make_group("wall", xw, yw, m=m, h=1.3 * dx, rho=2000.0,
+                      rad_s=dx / 2, role=ROLE_BOUNDARY, dem_id=2)
+
+    def build(skin_factor):
+        scene = build_scene([body, wall], dim=2, total_no_bodies=3,
+                            spacing0=dx)
+        scheme = RigidBody2DScheme(rigid_bodies=["body"],
+                                   boundaries=["wall"], gy=-9.81, dim=2)
+        scheme.engine = "cell"
+        scheme.skin_factor = skin_factor
+        scene = scheme.setup(scene)
+        return scheme, scene
+
+    sch_0, sc_0 = build(0.0)
+    sch_s, sc_s = build(0.3)
+    step_0 = sch_0.make_step(sc_0)
+    step_s = sch_s.make_step(sc_s)
+    dt = jnp.asarray(1e-4)
+    # 25 contact-resolving steps: displacements stay far below skin/2,
+    # so the skin path reuses its setup-time grid throughout (the
+    # skipped-rebuild window) while forces are active from step 1.
+    xb0 = np.asarray(sc_s.g_xb)
+    for _ in range(25):
+        sc_0 = step_0(sc_0, dt)
+        sc_s = step_s(sc_s, dt)
+    assert np.array_equal(xb0, np.asarray(sc_s.g_xb)), "expected reuse"
+    assert not bool(np.asarray(sc_s.nbr_overflow))
+    for k in ("x", "y", "u", "v", "fx", "fy"):
+        np.testing.assert_allclose(np.asarray(sc_s[k]), np.asarray(sc_0[k]),
+                                   atol=1e-9, err_msg=k)
+
+    # displace one body past skin/2: the next step must rebuild (g_xb
+    # refreshes) and forces must again match a fresh-grid engine run.
+    shift = 0.6 * 0.3 * (3 * 1.3 * dx)  # > skin/2
+    nb1 = len(xb)
+    move = np.zeros_like(np.asarray(sc_s.x))
+    move[:nb1] = shift
+    sc_s = sc_s.replace(x=sc_s.x + jnp.asarray(move, sc_s.x.dtype))
+    sc_0 = sc_0.replace(x=sc_0.x + jnp.asarray(move, sc_0.x.dtype))
+    sc_s = step_s(sc_s, dt)
+    sc_0 = step_0(sc_0, dt)
+    assert not np.array_equal(xb0, np.asarray(sc_s.g_xb)), \
+        "expected a rebuild"
+    assert not bool(np.asarray(sc_s.nbr_overflow))
+    for k in ("x", "y", "fx", "fy"):
+        np.testing.assert_allclose(np.asarray(sc_s[k]), np.asarray(sc_0[k]),
+                                   atol=1e-9, err_msg=k)
+
+
 def test_boundary_identification_engines_agree():
     from rigid_body_2d_3d_pysph_tpu.models.rigid_body import (
         run_boundary_identification, run_boundary_identification_cell,

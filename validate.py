@@ -193,6 +193,10 @@ CHECKS = {
                                                     spacing=0.05),
     "benchmark_5_3d_two": lambda: check_benchmark_5("benchmark_5_3d_two",
                                                     spacing=0.05),
+    "benchmark_5_3d_three": lambda: check_benchmark_5(
+        "benchmark_5_3d_three", spacing=0.05),
+    "benchmark_5_3d_pyramid": lambda: check_benchmark_5(
+        "benchmark_5_3d_pyramid", spacing=0.05, tol_spacings=4.0),
     "stack_of_cylinders": check_stack_of_cylinders,
     "sinking_box": check_sinking_box,
     "dem_column_collapse": check_dem_column_collapse,
