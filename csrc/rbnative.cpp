@@ -260,3 +260,203 @@ void rb_contact_eval(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full GTVF rigid-body trajectory stepper (multi-step oracle).
+//
+// Independent C++ implementation of the complete scheme the JAX engines
+// run (reference stage trace: rigid_body_3d.py:40-225 via
+// pysph.sph.wc.gtvf.GTVFIntegrator; 2D scalar-izz variant
+// rigid_body_2d.py:40-205), including the per-step contact-state
+// handoff (delta_lt/fn persistence) where drift bugs hide.  Used by
+// tests/test_native_oracle.py to cross-validate 100+-step f64
+// trajectories against the device step.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline void gram_schmidt_columns(double* R) {
+  // columns of row-major R[9]; same order as the reference
+  // normalize_R_orientation (rigid_body_common.py:178-203)
+  double c[3][3];
+  for (int j = 0; j < 3; ++j)
+    for (int i = 0; i < 3; ++i) c[j][i] = R[i * 3 + j];
+  auto norm = [](double* a) {
+    double s = std::sqrt(a[0] * a[0] + a[1] * a[1] + a[2] * a[2]);
+    a[0] /= s; a[1] /= s; a[2] /= s;
+  };
+  auto dot = [](const double* a, const double* b) {
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2];
+  };
+  norm(c[0]);
+  double d01 = dot(c[0], c[1]);
+  for (int i = 0; i < 3; ++i) c[1][i] -= d01 * c[0][i];
+  norm(c[1]);
+  double d02 = dot(c[0], c[2]), d12 = dot(c[1], c[2]);
+  for (int i = 0; i < 3; ++i) c[2][i] -= d02 * c[0][i] + d12 * c[1][i];
+  norm(c[2]);
+  for (int j = 0; j < 3; ++j)
+    for (int i = 0; i < 3; ++i) R[i * 3 + j] = c[j][i];
+}
+
+struct BodyArgs {
+  int B, two_d;
+  double* total_mass; double* xcm; double* vcm; double* R;
+  double* ang_mom; double* omega; const double* izz;
+  const double* I_inv_body; double* I_inv_glob;
+  double* force; double* torque;
+};
+
+inline void body_half_kick(const BodyArgs& b, double dt) {
+  for (int k = 0; k < b.B; ++k) {
+    double M = b.total_mass[k];
+    if (b.two_d) {
+      b.vcm[k * 3 + 0] += 0.5 * dt * b.force[k * 3 + 0] / M;
+      b.vcm[k * 3 + 1] += 0.5 * dt * b.force[k * 3 + 1] / M;
+      double izz = b.izz[k] > 0 ? b.izz[k] : 1.0;
+      b.omega[k * 3 + 2] += 0.5 * dt * b.torque[k * 3 + 2] / izz;
+    } else {
+      for (int a = 0; a < 3; ++a) {
+        b.vcm[k * 3 + a] += 0.5 * dt * b.force[k * 3 + a] / M;
+        b.ang_mom[k * 3 + a] += 0.5 * dt * b.torque[k * 3 + a];
+      }
+      for (int a = 0; a < 3; ++a) {
+        double s = 0;
+        for (int c = 0; c < 3; ++c)
+          s += b.I_inv_glob[k * 9 + a * 3 + c] * b.ang_mom[k * 3 + c];
+        b.omega[k * 3 + a] = s;
+      }
+    }
+  }
+}
+
+inline void particles_from_body_velocity(
+    const BodyArgs& b, const uint8_t* is_rigid, const int32_t* body_id,
+    const double* dx0, const double* dy0, const double* dz0, int n,
+    double* u, double* v, double* w) {
+  for (int i = 0; i < n; ++i) {
+    if (!is_rigid[i]) continue;
+    int k = body_id[i];
+    const double* R = b.R + k * 9;
+    double dx = R[0] * dx0[i] + R[1] * dy0[i] + R[2] * dz0[i];
+    double dy = R[3] * dx0[i] + R[4] * dy0[i] + R[5] * dz0[i];
+    double dz = R[6] * dx0[i] + R[7] * dy0[i] + R[8] * dz0[i];
+    const double* om = b.omega + k * 3;
+    u[i] = b.vcm[k * 3 + 0] + om[1] * dz - om[2] * dy;
+    v[i] = b.vcm[k * 3 + 1] + om[2] * dx - om[0] * dz;
+    w[i] = b.vcm[k * 3 + 2] + om[0] * dy - om[1] * dx;
+  }
+}
+
+}  // namespace
+
+extern "C" void rb_gtvf_step_n(
+    double* x, double* y, double* z, double* u, double* v, double* w,
+    const double* m, const double* rho, const double* h,
+    const int32_t* dem_id, const int32_t* body_id, const uint8_t* is_rigid,
+    const double* cf_is_boundary,
+    const double* dx0, const double* dy0, const double* dz0,
+    int n, int S, int dim, int two_d, double spacing0, int B,
+    double* total_mass, double* xcm, double* vcm, double* R,
+    double* ang_mom, double* omega, const double* izz,
+    const double* I_inv_body, double* I_inv_glob,
+    double* force, double* torque,
+    const double* eta,
+    double kr, double kf, double fric_coeff,
+    double gx, double gy, double gz,
+    double dt, int n_steps,
+    double* delta_lt_x, double* delta_lt_y, double* delta_lt_z,
+    double* fn_x, double* fn_y, double* fn_z,
+    double* cfn_x, double* cfn_y, double* cfn_z, double* dist,
+    double* fx, double* fy, double* fz) {
+  BodyArgs b{B, two_d, total_mass, xcm, vcm, R, ang_mom, omega, izz,
+             I_inv_body, I_inv_glob, force, torque};
+  for (int step = 0; step < n_steps; ++step) {
+    // stage 1: half-kick with the stored (previous-eval) force
+    body_half_kick(b, dt);
+    particles_from_body_velocity(b, is_rigid, body_id, dx0, dy0, dz0, n,
+                                 u, v, w);
+
+    // stage-2 equations: contact pipeline + gravity + per-body sums
+    rb_contact_eval(x, y, z, u, v, w, m, rho, h, dem_id, body_id,
+                    is_rigid, cf_is_boundary, n, S, dim, spacing0, eta,
+                    kr, kf, fric_coeff, dt,
+                    delta_lt_x, delta_lt_y, delta_lt_z,
+                    fn_x, fn_y, fn_z, cfn_x, cfn_y, cfn_z, dist,
+                    fx, fy, fz);
+    for (int i = 0; i < n; ++i) {
+      if (!is_rigid[i]) { fx[i] = fy[i] = fz[i] = 0.0; continue; }
+      fx[i] += m[i] * gx;
+      fy[i] += m[i] * gy;
+      fz[i] += m[i] * gz;
+    }
+    std::memset(force, 0, sizeof(double) * (size_t)B * 3);
+    std::memset(torque, 0, sizeof(double) * (size_t)B * 3);
+    for (int i = 0; i < n; ++i) {
+      if (!is_rigid[i]) continue;
+      int k = body_id[i];
+      force[k * 3 + 0] += fx[i];
+      force[k * 3 + 1] += fy[i];
+      force[k * 3 + 2] += fz[i];
+      double rx = x[i] - xcm[k * 3 + 0];
+      double ry = y[i] - xcm[k * 3 + 1];
+      double rz = z[i] - xcm[k * 3 + 2];
+      torque[k * 3 + 0] += ry * fz[i] - rz * fy[i];
+      torque[k * 3 + 1] += rz * fx[i] - rx * fz[i];
+      torque[k * 3 + 2] += rx * fy[i] - ry * fx[i];
+    }
+
+    // stage 2 drift: COM + orientation + (3D) global inertia
+    for (int k = 0; k < B; ++k) {
+      xcm[k * 3 + 0] += dt * vcm[k * 3 + 0];
+      xcm[k * 3 + 1] += dt * vcm[k * 3 + 1];
+      if (!two_d) xcm[k * 3 + 2] += dt * vcm[k * 3 + 2];
+      const double* om = omega + k * 3;
+      double Om[9] = {0, -om[2], om[1], om[2], 0, -om[0], -om[1], om[0], 0};
+      double* Rk = R + k * 9;
+      double dR[9];
+      for (int a = 0; a < 3; ++a)
+        for (int c = 0; c < 3; ++c) {
+          double s = 0;
+          for (int e = 0; e < 3; ++e) s += Om[a * 3 + e] * Rk[e * 3 + c];
+          dR[a * 3 + c] = s;
+        }
+      for (int e = 0; e < 9; ++e) Rk[e] += dt * dR[e];
+      gram_schmidt_columns(Rk);
+      if (!two_d) {
+        // I_inv_glob = R I_inv_body R^T
+        const double* Ib = I_inv_body + k * 9;
+        double tmp[9];
+        for (int a = 0; a < 3; ++a)
+          for (int c = 0; c < 3; ++c) {
+            double s = 0;
+            for (int e = 0; e < 3; ++e) s += Rk[a * 3 + e] * Ib[e * 3 + c];
+            tmp[a * 3 + c] = s;
+          }
+        for (int a = 0; a < 3; ++a)
+          for (int c = 0; c < 3; ++c) {
+            double s = 0;
+            for (int e = 0; e < 3; ++e) s += tmp[a * 3 + e] * Rk[c * 3 + e];
+            I_inv_glob[k * 9 + a * 3 + c] = s;
+          }
+      }
+    }
+    // particle positions from body frame
+    for (int i = 0; i < n; ++i) {
+      if (!is_rigid[i]) continue;
+      int k = body_id[i];
+      const double* Rk = R + k * 9;
+      x[i] = xcm[k * 3 + 0] + Rk[0] * dx0[i] + Rk[1] * dy0[i]
+             + Rk[2] * dz0[i];
+      y[i] = xcm[k * 3 + 1] + Rk[3] * dx0[i] + Rk[4] * dy0[i]
+             + Rk[5] * dz0[i];
+      z[i] = xcm[k * 3 + 2] + Rk[6] * dx0[i] + Rk[7] * dy0[i]
+             + Rk[8] * dz0[i];
+    }
+
+    // stage 3: second half-kick with the fresh force
+    body_half_kick(b, dt);
+    particles_from_body_velocity(b, is_rigid, body_id, dx0, dy0, dz0, n,
+                                 u, v, w);
+  }
+}

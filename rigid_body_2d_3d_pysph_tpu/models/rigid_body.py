@@ -261,6 +261,14 @@ class _RigidBodySchemeBase(Scheme):
                                                      kernel.radius_scale)
             return build_rigid_rk2_step(kernel, self._nbr_cfg, params,
                                         self.two_d)
+        if getattr(self, "integrator", "gtvf") == "leapfrog":
+            if self.two_d:
+                raise ValueError("leapfrog stepper is 3D-only "
+                                 "(reference rigid_body_3d.py:228)")
+            if self._nbr_cfg is None:
+                self._nbr_cfg = self.neighbor_config(scene,
+                                                     kernel.radius_scale)
+            return build_rigid_leapfrog_step(kernel, self._nbr_cfg, params)
         if self.engine in ("cell", "pallas"):
             return build_rigid_gtvf_step_cell(
                 kernel, self.cell_config(scene, kernel), params, self.two_d,
@@ -578,6 +586,54 @@ def build_rigid_rk2_step(kernel, cfg: nbmod.NeighborConfig, params: dict,
                                      scene.active, cfg)
         scene = rigid_contact_force_eval(scene, nbrs, kernel, params, dt)
         scene = _rk2_body_stage(scene, dt, two_d)
+        scene = _particles_from_body_position(scene)
+        scene = _particles_from_body_velocity(scene)
+        scene = scene.replace(nbr_overflow=scene.nbr_overflow | nbrs.overflow)
+        return scene
+
+    return step
+
+
+def _leapfrog_body_stage(scene, frac_dt):
+    """Reference ``LeapFrogRigidBody3DStep`` body update
+    (``rigid_body_3d.py:228-405``; marked FIXME and unused there — ported
+    for API completeness): positions advance from the saved state with
+    the PRE-update velocity, velocities with the current force; R
+    integrates from R0 with the current omega.  As with RK2, the
+    reference's ``py_initialize`` saves ``ang_mom0`` only for body 0
+    (:243-244); we save it per body — the intended semantics."""
+    M = scene.total_mass[:, None]
+    xcm = scene.xcm0 + frac_dt * scene.vcm
+    vcm = scene.vcm0 + frac_dt * scene.force / M
+    Om = rops.omega_cross_matrix(scene.omega)
+    R = rops.gram_schmidt_columns(
+        scene.R0 + frac_dt * jnp.einsum("bij,bjk->bik", Om, scene.R))
+    Iinv = jnp.einsum("bij,bjk,blk->bil", R,
+                      scene.inertia_tensor_inverse_body_frame, R)
+    ang_mom = scene.ang_mom0 + frac_dt * scene.torque
+    omega = jnp.einsum("bij,bj->bi", Iinv, ang_mom)
+    return scene.replace(xcm=xcm, vcm=vcm, R=R, ang_mom=ang_mom,
+                         omega=omega,
+                         inertia_tensor_inverse_global_frame=Iinv)
+
+
+def build_rigid_leapfrog_step(kernel, cfg: nbmod.NeighborConfig,
+                              params: dict):
+    """Reference ``LeapFrogRigidBody3DStep`` under the GTVF sequencing
+    (save -> half-advance with stored force -> force eval -> full
+    advance from saved).  3D only, like the reference stepper."""
+
+    @jax.jit
+    def step(scene: Scene, dt):
+        scene = scene.replace(xcm0=scene.xcm, vcm0=scene.vcm,
+                              ang_mom0=scene.ang_mom, R0=scene.R)
+        scene = _leapfrog_body_stage(scene, 0.5 * dt)
+        scene = _particles_from_body_position(scene)
+        scene = _particles_from_body_velocity(scene)
+        nbrs = nbmod.build_neighbors(scene.x, scene.y, scene.z,
+                                     scene.active, cfg)
+        scene = rigid_contact_force_eval(scene, nbrs, kernel, params, dt)
+        scene = _leapfrog_body_stage(scene, dt)
         scene = _particles_from_body_position(scene)
         scene = _particles_from_body_velocity(scene)
         scene = scene.replace(nbr_overflow=scene.nbr_overflow | nbrs.overflow)

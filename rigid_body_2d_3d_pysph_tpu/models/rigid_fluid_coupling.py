@@ -80,14 +80,18 @@ class RigidFluidCouplingScheme(Scheme):
         self.kernel_name = "quintic"
         self.engine = _default_engine()  # "cell" (TPU) or "nklist" (CPU)
         # GTVF stage ordering.  "reference" reproduces the PySPH order
-        # (rates at u_n pre-kick, momentum at p_n pre-drift) which is an
-        # Adams-Bashforth-like staging of the acoustic subsystem and is
-        # weakly unstable for WCSPH/EDAC (measured: e-folding ~100 steps
-        # on the hydrostatic tank at the reference's own c0/dt).  "kdk"
-        # is the symplectic kick-drift-kick staging: density/pressure
-        # rates at u_{n+1/2}, momentum + wall BC evaluated after the
-        # drift at (x_{n+1}, p_{n+1}).  Same spatial discretization,
-        # stable.
+        # (rates at u_n pre-kick, momentum at p_n pre-drift — an
+        # Adams-Bashforth-like staging of the acoustic subsystem);
+        # "kdk" is the symplectic kick-drift-kick staging
+        # (density/pressure rates at u_{n+1/2}, momentum + wall BC
+        # evaluated after the drift at (x_{n+1}, p_{n+1})).  Round-2
+        # measurement note: on the hydrostatic-tank regression both
+        # orderings show the SAME slow startup-sloshing KE growth at the
+        # reference's own c0/dt (e-fold ~230 steps, ordering-independent
+        # to <2%) — the round-1 claim of a reference-ordering-specific
+        # instability did not reproduce; KDK remains the default for its
+        # better-justified staging, with both orderings available on
+        # both engines and cross-engine equality tested.
         self.gtvf_ordering = "kdk"
         self.dt = None
         self.tf = None
@@ -146,7 +150,7 @@ class RigidFluidCouplingScheme(Scheme):
         kernel = get_kernel(self.kernel_name, self.dim)
         if identify_boundaries and (self.rigid_bodies or self.boundaries):
             names = self.rigid_bodies + self.boundaries
-            if self.engine == "cell":
+            if self.engine in ("cell", "pallas"):
                 from .rigid_body import run_boundary_identification_cell
                 scene = run_boundary_identification_cell(
                     scene, kernel, self.cell_config(scene, kernel), names)
@@ -179,8 +183,15 @@ class RigidFluidCouplingScheme(Scheme):
         return self._cell_cfg
 
     # -- the fused step ---------------------------------------------------
+    def _cell_pipeline(self):
+        """Contact pair-pipeline for the cell layout (Pallas on TPU when
+        supported; XLA fused otherwise) — same logic as the rigid-body
+        scheme's selector."""
+        from .rigid_body import _RigidBodySchemeBase
+        return _RigidBodySchemeBase._cell_pipeline(self)
+
     def make_step(self, scene: Scene):
-        if self.engine == "cell":
+        if self.engine in ("cell", "pallas"):
             return self._make_step_cell(scene)
         return self._make_step_nklist(scene)
 
@@ -198,6 +209,7 @@ class RigidFluidCouplingScheme(Scheme):
         fluid_alpha = self.fluid_alpha
         has_fluid = len(self.fluids) > 0
         has_rigid = len(self.rigid_bodies) > 0
+        pipeline = self._cell_pipeline()
 
         if self.gtvf_ordering == "kdk":
             @jax.jit
@@ -299,7 +311,7 @@ class RigidFluidCouplingScheme(Scheme):
                                  jnp.where(rb, ffz, 0.0))
                     scene = rigid_contact_force_eval_cell(
                         scene, grid, ccfg, kernel, params, dt,
-                        extra_fx=extra)
+                        extra_fx=extra, pipeline=pipeline)
                 scene = scene.replace(nbr_overflow=ovf)
 
                 # ---- second half-kick with the fresh accelerations ----
@@ -391,7 +403,8 @@ class RigidFluidCouplingScheme(Scheme):
                              jnp.where(rb, ffy, 0.0),
                              jnp.where(rb, ffz, 0.0))
                 scene = rigid_contact_force_eval_cell(
-                    scene, grid, ccfg, kernel, params, dt, extra_fx=extra)
+                    scene, grid, ccfg, kernel, params, dt, extra_fx=extra,
+                    pipeline=pipeline)
 
             scene = scene.replace(
                 nbr_overflow=scene.nbr_overflow | grid.overflow)
@@ -443,6 +456,149 @@ class RigidFluidCouplingScheme(Scheme):
         has_fluid = len(self.fluids) > 0
         has_rigid = len(self.rigid_bodies) > 0
 
+        def fluid_stage2(scene, nbrs, fl, bd, rb, fl_bd):
+            """Wall/body BC + fluid momentum (shared by both orderings)."""
+            if not edac:
+                p, cs = fops.tait_eos(scene, rho0, c0, gamma, fl)
+                scene = scene.replace(p=p, cs=cs)
+            uf, vf, wf, ug, vg, wg, sw = fops.set_wall_velocity(
+                scene, nbrs, kernel, bd, fl)
+            p_wall = fops.solid_wall_pressure_bc(
+                scene, nbrs, kernel, gx, gy, gz, bd, fl, sw, clamp=True)
+            scene = scene.replace(
+                p=jnp.where(bd, p_wall, scene.p),
+                uf=jnp.where(bd, uf, scene.uf),
+                vf=jnp.where(bd, vf, scene.vf),
+                wf=jnp.where(bd, wf, scene.wf),
+                ug=jnp.where(bd, ug, scene.ug),
+                vg=jnp.where(bd, vg, scene.vg),
+                wg=jnp.where(bd, wg, scene.wg),
+                wij_adami=jnp.where(bd, sw, scene.wij_adami),
+            )
+            if has_rigid:
+                uf, vf, wf, ug, vg, wg, sw = fops.set_wall_velocity(
+                    scene, nbrs, kernel, rb, fl)
+                p_fsi = fops.solid_wall_pressure_bc(
+                    scene, nbrs, kernel, gx, gy, gz, rb, fl, sw,
+                    clamp=False)
+                scene = scene.replace(
+                    p_fsi=jnp.where(rb, p_fsi, scene.p_fsi),
+                    uf=jnp.where(rb, uf, scene.uf),
+                    vf=jnp.where(rb, vf, scene.vf),
+                    wf=jnp.where(rb, wf, scene.wf),
+                    ug=jnp.where(rb, ug, scene.ug),
+                    vg=jnp.where(rb, vg, scene.vg),
+                    wg=jnp.where(rb, wg, scene.wg),
+                    wij_adami=jnp.where(rb, sw, scene.wij_adami),
+                )
+            aux, auy, auz = fops.momentum_pressure_gradient(
+                scene, nbrs, kernel, fl, fl_bd)
+            if abs(fluid_alpha) > 1e-14:
+                vx, vy, vz = fops.momentum_artificial_viscosity(
+                    scene, nbrs, kernel, fluid_alpha, c0, fl, fl)
+                aux, auy, auz = aux + vx, auy + vy, auz + vz
+            if has_rigid:
+                rx, ry, rz = fops.force_on_fluid_due_to_rigid_body(
+                    scene, nbrs, kernel, fl, rb)
+                aux, auy, auz = aux + rx, auy + ry, auz + rz
+            return scene.replace(
+                au=jnp.where(fl, gx + aux, 0.0),
+                av=jnp.where(fl, gy + auy, 0.0),
+                aw=jnp.where(fl, gz + auz, 0.0),
+            )
+
+        if self.gtvf_ordering == "kdk":
+            @jax.jit
+            def step_kdk(scene: Scene, dt):
+                """KDK ordering on the [N,K] engine (mirrors the cell
+                engine's step_kdk; documented stability deviation from
+                the reference staging)."""
+                fl = scene.is_fluid & scene.active
+                bd = scene.is_static_boundary & scene.active
+                rb = scene.is_rigid & scene.active
+                fl_bd = fl | bd
+
+                if has_fluid:
+                    scene = scene.replace(
+                        u=jnp.where(fl, scene.u + 0.5 * dt * scene.au,
+                                    scene.u),
+                        v=jnp.where(fl, scene.v + 0.5 * dt * scene.av,
+                                    scene.v),
+                        w=jnp.where(fl, scene.w + 0.5 * dt * scene.aw,
+                                    scene.w),
+                    )
+                if has_rigid:
+                    scene = _body_half_kick(scene, dt, two_d=False)
+                    scene = _particles_from_body_velocity(scene)
+
+                ovf = scene.nbr_overflow
+                if has_fluid:
+                    nbrs = nbmod.build_neighbors(scene.x, scene.y, scene.z,
+                                                 scene.active, cfg)
+                    ovf = ovf | nbrs.overflow
+                    arho = fops.continuity(scene, nbrs, kernel, fl, fl_bd)
+                    ap = (fops.edac(scene, nbrs, kernel, nu_edac, c0, fl,
+                                    fl_bd)
+                          if edac else jnp.zeros_like(arho))
+                    if has_rigid:
+                        arho = arho + fops.continuity(scene, nbrs, kernel,
+                                                      fl, rb, fsi=True)
+                        if edac:
+                            ap = ap + fops.edac(scene, nbrs, kernel,
+                                                nu_edac, c0, fl, rb,
+                                                fsi=True)
+                    scene = scene.replace(arho=jnp.where(fl, arho, 0.0),
+                                          ap=jnp.where(fl, ap, 0.0))
+
+                if has_fluid:
+                    rho_new = scene.rho + dt * scene.arho
+                    upd = dict(
+                        x=jnp.where(fl, scene.x + dt * scene.u, scene.x),
+                        y=jnp.where(fl, scene.y + dt * scene.v, scene.y),
+                        z=jnp.where(fl, scene.z + dt * scene.w, scene.z),
+                        rho=jnp.where(fl, rho_new, scene.rho),
+                        vol=jnp.where(fl, scene.m / rho_new, scene.vol),
+                    )
+                    if edac:
+                        upd["p"] = jnp.where(fl, scene.p + dt * scene.ap,
+                                             scene.p)
+                    scene = scene.replace(**upd)
+                if has_rigid:
+                    scene = _body_drift(scene, dt, two_d=False)
+                    scene = _particles_from_body_position(scene)
+
+                nbrs = nbmod.build_neighbors(scene.x, scene.y, scene.z,
+                                             scene.active, cfg)
+                ovf = ovf | nbrs.overflow
+                if has_fluid:
+                    scene = fluid_stage2(scene, nbrs, fl, bd, rb, fl_bd)
+                if has_rigid:
+                    extra = None
+                    if has_fluid:
+                        def extra(sc, nb):
+                            return fops.force_on_rigid_body_due_to_fluid(
+                                sc, nb, kernel, rb, fl)
+                    scene = rigid_contact_force_eval(scene, nbrs, kernel,
+                                                     params, dt,
+                                                     extra_force=extra)
+                scene = scene.replace(nbr_overflow=ovf)
+
+                if has_fluid:
+                    scene = scene.replace(
+                        u=jnp.where(fl, scene.u + 0.5 * dt * scene.au,
+                                    scene.u),
+                        v=jnp.where(fl, scene.v + 0.5 * dt * scene.av,
+                                    scene.v),
+                        w=jnp.where(fl, scene.w + 0.5 * dt * scene.aw,
+                                    scene.w),
+                    )
+                if has_rigid:
+                    scene = _body_half_kick(scene, dt, two_d=False)
+                    scene = _particles_from_body_velocity(scene)
+                return scene
+
+            return step_kdk
+
         @jax.jit
         def step(scene: Scene, dt):
             fl = scene.is_fluid & scene.active
@@ -479,57 +635,7 @@ class RigidFluidCouplingScheme(Scheme):
 
             # ---- stage-2 equations ----
             if has_fluid:
-                if not edac:
-                    p, cs = fops.tait_eos(scene, rho0, c0, gamma, fl)
-                    scene = scene.replace(p=p, cs=cs)
-                # Adami BC on static walls: extrapolate p (+ ghost vel)
-                uf, vf, wf, ug, vg, wg, sw = fops.set_wall_velocity(
-                    scene, nbrs, kernel, bd, fl)
-                p_wall = fops.solid_wall_pressure_bc(
-                    scene, nbrs, kernel, gx, gy, gz, bd, fl, sw, clamp=True)
-                scene = scene.replace(
-                    p=jnp.where(bd, p_wall, scene.p),
-                    uf=jnp.where(bd, uf, scene.uf),
-                    vf=jnp.where(bd, vf, scene.vf),
-                    wf=jnp.where(bd, wf, scene.wf),
-                    ug=jnp.where(bd, ug, scene.ug),
-                    vg=jnp.where(bd, vg, scene.vg),
-                    wg=jnp.where(bd, wg, scene.wg),
-                    wij_adami=jnp.where(bd, sw, scene.wij_adami),
-                )
-                if has_rigid:
-                    # ghost pressure on body surfaces -> p_fsi (no clamp)
-                    uf, vf, wf, ug, vg, wg, sw = fops.set_wall_velocity(
-                        scene, nbrs, kernel, rb, fl)
-                    p_fsi = fops.solid_wall_pressure_bc(
-                        scene, nbrs, kernel, gx, gy, gz, rb, fl, sw,
-                        clamp=False)
-                    scene = scene.replace(
-                        p_fsi=jnp.where(rb, p_fsi, scene.p_fsi),
-                        uf=jnp.where(rb, uf, scene.uf),
-                        vf=jnp.where(rb, vf, scene.vf),
-                        wf=jnp.where(rb, wf, scene.wf),
-                        ug=jnp.where(rb, ug, scene.ug),
-                        vg=jnp.where(rb, vg, scene.vg),
-                        wg=jnp.where(rb, wg, scene.wg),
-                        wij_adami=jnp.where(rb, sw, scene.wij_adami),
-                    )
-                # fluid momentum
-                aux, auy, auz = fops.momentum_pressure_gradient(
-                    scene, nbrs, kernel, fl, fl_bd)
-                if abs(fluid_alpha) > 1e-14:
-                    vx, vy, vz = fops.momentum_artificial_viscosity(
-                        scene, nbrs, kernel, fluid_alpha, c0, fl, fl)
-                    aux, auy, auz = aux + vx, auy + vy, auz + vz
-                if has_rigid:
-                    rx, ry, rz = fops.force_on_fluid_due_to_rigid_body(
-                        scene, nbrs, kernel, fl, rb)
-                    aux, auy, auz = aux + rx, auy + ry, auz + rz
-                scene = scene.replace(
-                    au=jnp.where(fl, gx + aux, 0.0),
-                    av=jnp.where(fl, gy + auy, 0.0),
-                    aw=jnp.where(fl, gz + auz, 0.0),
-                )
+                scene = fluid_stage2(scene, nbrs, fl, bd, rb, fl_bd)
 
             if has_rigid:
                 extra = None

@@ -46,6 +46,14 @@ def get_lib():
         + [d] + [ctypes.c_double] * 4
         + [d] * 6 + [d] * 4 + [d] * 3
     )
+    lib.rb_gtvf_step_n.argtypes = (
+        [d] * 9 + [i32, i32, u8] + [d] * 4
+        + [ctypes.c_int] * 4 + [ctypes.c_double] + [ctypes.c_int]
+        + [d] * 12          # body state arrays + eta
+        + [ctypes.c_double] * 6   # kr kf fric gx gy gz
+        + [ctypes.c_double, ctypes.c_int]  # dt, n_steps
+        + [d] * 6 + [d] * 4 + [d] * 3
+    )
     _lib = lib
     return _lib
 
@@ -115,3 +123,67 @@ def contact_eval(scene_arrays: dict, S: int, dim: int, spacing0: float,
     return dict(cfn_x=cfx, cfn_y=cfy, cfn_z=cfz, dist=dist,
                 delta_lt=(dlx, dly, dlz), fn=(fnx, fny, fnz),
                 fx=fx, fy=fy, fz=fz)
+
+
+def gtvf_step_n(scene, kr: float, kf: float, fric_coeff: float,
+                gx: float, gy: float, gz: float, dt: float, n_steps: int,
+                two_d: bool):
+    """Full GTVF rigid trajectory in the native engine: ``n_steps`` of
+    the complete scheme (kick -> contact eval -> drift -> kick) with
+    persistent contact-slot state, f64.  Takes a framework Scene;
+    returns a dict of the final particle/body state."""
+    lib = get_lib()
+    n = scene.n
+    S = scene.meta.total_no_bodies
+    B = scene.meta.nb
+    dim = scene.meta.dim
+
+    f = lambda k: np.ascontiguousarray(np.asarray(scene[k]), np.float64).copy()
+    a = {k: f(k) for k in ("x", "y", "z", "u", "v", "w", "m", "rho", "h",
+                           "contact_force_is_boundary",
+                           "dx0", "dy0", "dz0")}
+    dem = np.ascontiguousarray(np.asarray(scene.dem_id), np.int32)
+    bid = np.ascontiguousarray(
+        np.clip(np.asarray(scene.body_id), 0, None), np.int32)
+    rig = np.ascontiguousarray(np.asarray(scene.is_rigid), np.uint8)
+
+    bf = lambda k: np.ascontiguousarray(
+        np.asarray(scene[k]), np.float64).copy()
+    total_mass = bf("total_mass")
+    xcm, vcm = bf("xcm"), bf("vcm")
+    R = bf("R").reshape(B, 9).copy()
+    ang_mom, omega = bf("ang_mom"), bf("omega")
+    izz = (bf("izz") if "izz" in scene else np.ones(B))
+    iib = bf("inertia_tensor_inverse_body_frame").reshape(B, 9).copy()
+    iig = bf("inertia_tensor_inverse_global_frame").reshape(B, 9).copy()
+    force, torque = bf("force"), bf("torque")
+    eta = bf("eta")
+
+    s2 = lambda k: np.ascontiguousarray(
+        np.asarray(scene[k]), np.float64).copy()
+    dlx, dly, dlz = s2("delta_lt_x"), s2("delta_lt_y"), s2("delta_lt_z")
+    fnx, fny, fnz = s2("fn_x"), s2("fn_y"), s2("fn_z")
+    z2 = lambda: np.zeros((n, S), np.float64)
+    cfx, cfy, cfz, dist = z2(), z2(), z2(), z2()
+    fx, fy, fz = np.zeros(n), np.zeros(n), np.zeros(n)
+
+    lib.rb_gtvf_step_n(
+        _p(a["x"]), _p(a["y"]), _p(a["z"]),
+        _p(a["u"]), _p(a["v"]), _p(a["w"]),
+        _p(a["m"]), _p(a["rho"]), _p(a["h"]),
+        _pi(dem), _pi(bid), _pu(rig),
+        _p(a["contact_force_is_boundary"]),
+        _p(a["dx0"]), _p(a["dy0"]), _p(a["dz0"]),
+        n, S, dim, int(two_d), float(scene.meta.spacing0), B,
+        _p(total_mass), _p(xcm), _p(vcm), _p(R),
+        _p(ang_mom), _p(omega), _p(izz), _p(iib), _p(iig),
+        _p(force), _p(torque), _p(eta),
+        kr, kf, fric_coeff, gx, gy, gz, dt, int(n_steps),
+        _p(dlx), _p(dly), _p(dlz), _p(fnx), _p(fny), _p(fnz),
+        _p(cfx), _p(cfy), _p(cfz), _p(dist),
+        _p(fx), _p(fy), _p(fz))
+    return dict(x=a["x"], y=a["y"], z=a["z"], u=a["u"], v=a["v"],
+                w=a["w"], xcm=xcm, vcm=vcm, R=R.reshape(B, 3, 3),
+                omega=omega, ang_mom=ang_mom, force=force, torque=torque,
+                fx=fx, fy=fy, fz=fz,
+                delta_lt=(dlx, dly, dlz), fn=(fnx, fny, fnz))

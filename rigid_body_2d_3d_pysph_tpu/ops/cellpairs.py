@@ -273,7 +273,13 @@ def gather_source_block(dense, nbr_slots_block, cfg: CellGridConfig,
     """[NC_max, M, F] sources for a block's stencil: [C, O, M, F] via row
     gathers.  ``sentinel_row`` ([M, F] or scalar) fills missing-neighbor
     cells — it MUST make downstream gates false (e.g. far-away positions),
-    zeros are only safe for pure accumulators."""
+    zeros are only safe for pure accumulators.
+
+    TPU note: this 3D-slice gather is efficient at the chunked sizes the
+    XLA engines use (C <= cell_chunk rows) but lowers pathologically at
+    full-grid 1M scale (281 ms for 1.67 GB measured on v5e) — which is
+    why the Pallas pipeline DMAs stencil blocks in-kernel instead of
+    pre-gathering."""
     if sentinel_row is None:
         sent = jnp.zeros((1,) + dense.shape[1:], dense.dtype)
     else:

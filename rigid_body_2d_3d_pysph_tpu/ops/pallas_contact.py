@@ -71,13 +71,49 @@ def pack_for_contact(scene, grid: CellGrid, cfg: CellGridConfig):
     return dense.astype(jnp.float32)
 
 
-def _kernel(S, M, cutoff, kernel: Kernel, n_occ_ref, q_ref, sl_ref,
-            out_ref):
+def _kernel(S, M, O, cutoff, kernel: Kernel, n_occ_ref, q_ref,
+            nbr_now, nbr_nxt, dft_hbm, out_ref, scratch, sems):
+    """One program per occupied cell.  The 9/27 stencil source blocks
+    are DMA'd dfT[slot] -> VMEM with a 2-deep revolving buffer (cell
+    c+1's copies start before cell c's compute) — XLA's equivalent
+    pre-gather materializes a [NC, O, M, F] tensor in HBM whose gather
+    alone costs more than this whole kernel at 10^6 particles."""
     c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    n_occ = n_occ_ref[0]
+
+    # SMEM blocks are (8, O) row groups (Mosaic block-shape rule); the
+    # cell's row is rem(c, 8) of its group, the next cell's is
+    # rem(c+1, 8) of the group its index map selected
+    row_now = jax.lax.rem(c, jnp.int32(8))
+    row_nxt = jax.lax.rem(jnp.minimum(c + 1, nc - 1), jnp.int32(8))
+
+    def start_dmas(buf, nbr_row, row):
+        for o in range(O):
+            pltpu.make_async_copy(
+                dft_hbm.at[nbr_row[row, o]], scratch.at[buf, o],
+                sems.at[buf, o]).start()
+
+    @pl.when(c == 0)
+    def _():
+        start_dmas(0, nbr_now, row_now)
+
+    @pl.when((c + 1 < nc) & (c + 1 < n_occ))
+    def _():
+        start_dmas(jax.lax.rem(c + jnp.int32(1), jnp.int32(2)), nbr_nxt,
+                   row_nxt)
 
     def compute():
+        buf = jax.lax.rem(c, jnp.int32(2))
+        for o in range(O):
+            pltpu.make_async_copy(
+                dft_hbm.at[nbr_now[row_now, o]], scratch.at[buf, o],
+                sems.at[buf, o]).wait()
         q = q_ref[0]      # [M, F]
-        sL = sl_ref[0]    # [F, OM]
+        # blocks are DMA'd with 128 lanes (Mosaic alignment); the pad
+        # lanes carry sentinel values and are sliced away here
+        sL = jnp.concatenate([scratch[buf, o][:, :M] for o in range(O)],
+                             axis=1)  # [F, OM]
 
         def qcol(f):
             return q[:, f:f + 1]          # [M, 1]
@@ -163,14 +199,17 @@ def _kernel(S, M, cutoff, kernel: Kernel, n_occ_ref, q_ref, sl_ref,
     out_ref[0] = jax.lax.cond(c < n_occ_ref[0], compute, inactive)
 
 
-def contact_sums_pallas(df, src_l, n_occ, cfg: CellGridConfig,
+def contact_sums_pallas(df, src_l, n_occ, nbr_slots, cfg: CellGridConfig,
                         kernel: Kernel, S: int, interpret: bool = False):
     """Raw per-slot sums for every cell: [NC, M, 14S] f32 with the layout
     documented in :func:`_kernel` (7 sums, min_r, 6 source picks, each an
-    [NC, M, S] block along the last axis)."""
+    [NC, M, S] block along the last axis).
+
+    ``src_l`` is the field-major pack ``dfT [NC+1, F, M]`` (sentinel row
+    last); stencil blocks are DMA'd from it inside the kernel."""
     NC, M, F = df.shape
-    OM = src_l.shape[-1]
-    kern = functools.partial(_kernel, S, M, cfg.radius, kernel)
+    O = nbr_slots.shape[1]
+    kern = functools.partial(_kernel, S, M, O, cfg.radius, kernel)
     W = 14 * S
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -178,18 +217,33 @@ def contact_sums_pallas(df, src_l, n_occ, cfg: CellGridConfig,
         in_specs=[
             pl.BlockSpec((1, M, F), lambda c, n: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F, OM), lambda c, n: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
+            # the cell's own stencil row + the NEXT cell's (for the
+            # revolving-buffer prefetch), as tiny SMEM blocks — the full
+            # [NC, O] table exceeds the 1 MB SMEM scalar-prefetch budget
+            pl.BlockSpec((8, O), lambda c, n: (c // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, O),
+                         lambda c, n: (jnp.minimum(c + 1, NC - 1) // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, M, W), lambda c, n: (c, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, O, F, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, O)),
+        ],
     )
+    slots = jnp.minimum(nbr_slots, NC).astype(jnp.int32)
+    if NC % 8:  # row-group blocks need a multiple-of-8 row count
+        slots = jnp.concatenate(
+            [slots, jnp.full((8 - NC % 8, O), NC, jnp.int32)], axis=0)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NC, M, W), jnp.float32),
         interpret=interpret,
-    )(jnp.asarray(n_occ, jnp.int32).reshape(1), df, src_l)
+    )(jnp.asarray(n_occ, jnp.int32).reshape(1), df, slots, slots, src_l)
 
 
 def contact_pipeline_cell_pallas(scene, grid: CellGrid,
@@ -205,12 +259,19 @@ def contact_pipeline_cell_pallas(scene, grid: CellGrid,
     init_dist = 4.0 * scene.meta.spacing0
 
     df = pack_for_contact(scene, grid, cfg)            # [NC, M, F]
-    src = gather_source_block(df, grid.nbr_slots, cfg,
-                              _SENT)                   # [NC, O, M, F]
-    NC, O, M, F = src.shape
-    src_l = jnp.swapaxes(src.reshape(NC, O * M, F), 1, 2)  # [NC, F, OM]
+    NC, M, F = df.shape
+    sent = jnp.broadcast_to(jnp.asarray(_SENT, df.dtype), (M, F))[None]
+    dfT = jnp.swapaxes(jnp.concatenate([df, sent], axis=0), 1, 2)
+    if M < 128:  # Mosaic DMA slices must be 128-aligned in the minor dim
+        pad = jnp.broadcast_to(
+            jnp.asarray(_SENT, df.dtype)[None, :, None],
+            (NC + 1, F, 128 - M))
+        dfT = jnp.concatenate([dfT, pad], axis=2)
+    # field-major [NC+1, F, 128]: the kernel DMAs one block per stencil
+    # cell (no XLA pre-gather — it costs more than the kernel at 1M)
 
-    out = contact_sums_pallas(df, src_l, grid.n_occupied, cfg, kernel, S,
+    out = contact_sums_pallas(df, dfT, grid.n_occupied, grid.nbr_slots,
+                              cfg, kernel, S,
                               interpret=interpret)     # [NC, M, 14S]
     out = out.astype(scene.x.dtype)
 

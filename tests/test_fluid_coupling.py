@@ -120,7 +120,8 @@ def test_cell_and_nklist_coupling_agree():
     def build(engine):
         scheme, scene, dx, gy, rho0 = _tank_scene(with_body=True)
         scheme.engine = engine
-        # the nklist path implements only the reference stage ordering
+        # compare the reference staging here; the KDK ordering has its
+        # own cross-engine test below
         scheme.gtvf_ordering = "reference"
         return scheme, scene
 
@@ -138,3 +139,56 @@ def test_cell_and_nklist_coupling_agree():
                                    atol=1e-8, rtol=1e-8, err_msg=k)
     np.testing.assert_allclose(np.asarray(sc_c.force),
                                np.asarray(sc_n.force), atol=1e-7)
+
+
+def test_cell_and_nklist_kdk_agree():
+    """5 KDK-ordered steps on both engines must match (the nklist KDK
+    port, VERDICT item 9 symmetry)."""
+    def build(engine):
+        scheme, scene, dx, gy, rho0 = _tank_scene(with_body=True)
+        scheme.engine = engine
+        scheme.gtvf_ordering = "kdk"
+        return scheme, scene
+
+    sch_c, sc_c = build("cell")
+    sch_n, sc_n = build("nklist")
+    step_c = sch_c.make_step(sc_c)
+    step_n = sch_n.make_step(sc_n)
+    dt = jnp.asarray(1e-4)
+    for _ in range(5):
+        sc_c = step_c(sc_c, dt)
+        sc_n = step_n(sc_n, dt)
+    for k in ("x", "y", "u", "v", "rho", "p", "p_fsi", "arho", "au", "av",
+              "fx", "fy"):
+        np.testing.assert_allclose(np.asarray(sc_c[k]), np.asarray(sc_n[k]),
+                                   atol=1e-8, rtol=1e-8, err_msg=k)
+
+
+def test_ordering_energy_regression():
+    """Hydrostatic-tank KE regression for both GTVF orderings at the
+    reference's own CFL dt.  Round-2 measurement: the orderings track
+    each other to <2% (the round-1 claim of a reference-ordering
+    instability did not reproduce); this test pins BOTH behaviors —
+    bounded startup-sloshing KE and ordering-equivalence — so any future
+    staging change that destabilizes either ordering fails loudly."""
+    def run(ordering, n=400):
+        scheme, scene, dx, gy, rho0 = _tank_scene(with_body=False)
+        scheme.gtvf_ordering = ordering
+        step = scheme.make_step(scene)
+        multi = make_multi_step(step, 100)
+        dt = jnp.asarray(2.5e-4)  # == the reference's 0.25 dx/(1.1 c0)
+        s = scene
+        for _ in range(n // 100):
+            s = multi(s, dt)
+        fl = np.asarray(s.is_fluid)
+        m = np.asarray(s.m)[fl]
+        ke = 0.5 * m * (np.asarray(s.u)[fl] ** 2 + np.asarray(s.v)[fl] ** 2)
+        return float(ke.sum())
+
+    ke_ref = run("reference")
+    ke_kdk = run("kdk")
+    assert np.isfinite(ke_ref) and np.isfinite(ke_kdk)
+    # measured ~2.7e-3 at step 400 for both; x3 headroom
+    assert ke_kdk < 1e-2, ke_kdk
+    assert ke_ref < 1e-2, ke_ref
+    assert abs(ke_ref - ke_kdk) < 0.25 * max(ke_ref, ke_kdk)

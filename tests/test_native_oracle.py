@@ -107,3 +107,59 @@ def test_grid_matches_native_counts():
     nl = nbmod.build_neighbors(jnp.asarray(x), jnp.asarray(y),
                                jnp.asarray(z), jnp.ones(n, bool), cfg)
     np.testing.assert_array_equal(np.asarray(nl.n_neighbors), nat)
+
+
+def test_native_gtvf_trajectory_matches_jax():
+    """Multi-step oracle: 150 GTVF steps of the full rigid scheme in the
+    independent C++ engine vs the JAX step (f64), including the
+    persistent contact-state handoff between steps."""
+    from rigid_body_2d_3d_pysph_tpu.models.rigid_body import (
+        RigidBody2DScheme,
+    )
+    from rigid_body_2d_3d_pysph_tpu.native import gtvf_step_n
+
+    dx = 0.05
+    xb, yb = get_2d_block(dx, 0.2, 0.2)
+    x = np.concatenate([xb, xb + 0.2 + 0.6 * dx])
+    y = np.concatenate([yb, yb])
+    bid = np.concatenate([np.zeros(len(xb), np.int32),
+                          np.ones(len(xb), np.int32)])
+    xw = np.arange(-10, 20) * dx
+    yw = np.full(len(xw), yb.min() - 0.7 * dx)
+    body = make_group("body", x, y, m=2000 * dx * dx, h=1.3 * dx,
+                      rho=2000.0, rad_s=dx / 2, role=ROLE_RIGID,
+                      body_id=bid, dem_id=bid)
+    wall = make_group("wall", xw, yw, m=2000 * dx * dx, h=1.3 * dx,
+                      rho=2000.0, rad_s=dx / 2, role=ROLE_BOUNDARY,
+                      dem_id=2)
+    scene = build_scene([body, wall], dim=2, total_no_bodies=3,
+                        spacing0=dx)
+    scheme = RigidBody2DScheme(rigid_bodies=["body"], boundaries=["wall"],
+                               gy=-9.81, dim=2)
+    scheme.engine = "nklist"
+    scene = scheme.setup(scene)
+    scene = scheme.set_linear_velocity(
+        scene, np.array([[0.3, 0.0, 0.0], [-0.3, 0.0, 0.0]]))
+
+    dt, n_steps = 1e-4, 150
+    native = gtvf_step_n(scene, kr=scheme.kr, kf=scheme.kf,
+                         fric_coeff=scheme.fric_coeff, gx=0.0, gy=-9.81,
+                         gz=0.0, dt=dt, n_steps=n_steps, two_d=True)
+
+    step = scheme.make_step(scene)
+    s = scene
+    for _ in range(n_steps):
+        s = step(s, jnp.asarray(dt))
+    assert not bool(np.asarray(s.nbr_overflow))
+
+    np.testing.assert_allclose(native["xcm"], np.asarray(s.xcm),
+                               atol=1e-8)
+    np.testing.assert_allclose(native["vcm"], np.asarray(s.vcm),
+                               atol=1e-7)
+    np.testing.assert_allclose(native["omega"], np.asarray(s.omega),
+                               atol=1e-6)
+    np.testing.assert_allclose(native["x"], np.asarray(s.x), atol=1e-8)
+    np.testing.assert_allclose(native["y"], np.asarray(s.y), atol=1e-8)
+    np.testing.assert_allclose(native["u"], np.asarray(s.u), atol=1e-7)
+    np.testing.assert_allclose(native["force"], np.asarray(s.force),
+                               rtol=1e-8, atol=1e-6)

@@ -81,3 +81,23 @@ def test_boundary_identification_square():
     y = np.asarray(scene.y)
     on_edge = (np.isclose(np.abs(x), 0.5) | np.isclose(np.abs(y), 0.5))
     np.testing.assert_array_equal(isb, on_edge)
+
+
+def test_leapfrog_free_body():
+    """LeapFrogRigidBody3DStep port (reference rigid_body_3d.py:228-405,
+    dead code there): free body conserves KE and translates straight."""
+    scheme = RigidBody3DScheme(rigid_bodies=["body"], boundaries=None,
+                               dim=2)
+    scheme.integrator = "leapfrog"
+    scene = _free_body_scene(scheme)
+    ke0 = _ke(scene)
+    step = scheme.make_step(scene)
+    multi = make_multi_step(step, 100)
+    s = multi(scene, jnp.asarray(1e-3))
+    xcm = np.asarray(s.xcm)[0]
+    np.testing.assert_allclose(xcm[:2], [0.05, 0.05], atol=1e-8)
+    assert abs(_ke(s) - ke0) / ke0 < 1e-5
+    R = np.asarray(s.R)[0]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s.omega)[0], [0, 0, 1],
+                               atol=1e-7)

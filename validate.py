@@ -138,12 +138,26 @@ def check_sinking_box():
         return None
     r = np.load(res_path)
     y = r["y_com"]
-    # Sun 2015 3.1.2: the rho=2 box must sink smoothly (monotone within
-    # tolerance) and stay inside the fluid column
+    t = r["t"] if "t" in r else np.linspace(0.0, 4.0, len(y))
+    # Sun 2015 3.1.2 (the reference's own CSV comparison is commented
+    # out, rigid_body_rotating_and_sinking_in_tank_2d.py:221-235, so the
+    # quantitative anchor is analytic): a rho_s = 2 rho_f box under
+    # gy = -1 has net specific gravity g' = g (1 - rho_f/rho_s) = 0.5.
+    # Early-time descent must fall inside the added-mass-bounded window
+    #   a in [g'/(1 + Ca_max), g'],  Ca_max ~ 1.5 for a 2:1 broadside
+    # rectangle, i.e. a in [0.2, 0.5] m/s^2, fitted over the first 0.6 s.
     dy = np.diff(y)
-    ok = (y[-1] < y[0] - 0.5) and (dy.max() < 0.02) and np.isfinite(y).all()
+    early = t <= 0.6
+    tt = t[early]
+    # least-squares fit of y = y0 - 0.5 a t^2
+    denom = float((tt ** 4).sum())
+    a_fit = (2.0 * float(((y[0] - y[early]) * tt ** 2).sum()) / denom
+             if denom > 0 else 0.0)
+    ok = (y[-1] < y[0] - 0.5 and dy.max() < 0.02 and np.isfinite(y).all()
+          and 0.2 <= a_fit <= 0.5)
     return dict(ok=bool(ok), y0=float(y[0]), y_end=float(y[-1]),
-                max_rise=float(dy.max()))
+                max_rise=float(dy.max()), a_fit_early=float(a_fit),
+                a_window=[0.2, 0.5])
 
 
 def check_dem_column_collapse():
