@@ -77,16 +77,54 @@ def build_scene():
     return scheme, scene
 
 
+def build_dem_scene():
+    """~BENCH_N-grain column over a floor (the dem_granular_column_collapse
+    geometry scaled up) on the cell-engine DEM path."""
+    from rigid_body_2d_3d_pysph_tpu.geom import get_2d_block
+    from rigid_body_2d_3d_pysph_tpu.models.dem import DEMScheme
+    from rigid_body_2d_3d_pysph_tpu.state import (
+        make_group, build_scene, ROLE_RIGID, ROLE_BOUNDARY,
+    )
+
+    radius, s, rho = 1e-3, 2.1e-3, 2600.0
+    k = np.sqrt(max(N_TARGET, 1000) / 1130.0)
+    w, h = 0.05 * k, 0.1 * k
+    xg, yg = get_2d_block(s, w, h)
+    yg -= yg.min() - radius
+    m = rho * np.pi * radius**2
+    grains = make_group("sand", xg, yg, m=m, h=2.0 * radius, rho=rho,
+                        rad_s=radius, role=ROLE_RIGID,
+                        body_id=np.arange(len(xg), dtype=np.int32),
+                        dem_id=0)
+    xf = np.arange(-3.5 * h, 3.5 * h, 2 * radius)
+    yf = np.full(len(xf), -radius)
+    floor = make_group("floor", xf, yf, m=m, h=2.0 * radius, rho=rho,
+                       rad_s=radius, role=ROLE_BOUNDARY, dem_id=1)
+    scene = build_scene([grains, floor], dim=2, total_no_bodies=2,
+                        spacing0=s)
+    scheme = DEMScheme(granular_particles=["sand"], boundaries=["floor"],
+                       kn=1e5, en=0.5, mu=0.5, dim=2, gy=-9.81,
+                       max_tng_contacts_limit=8)
+    scheme.engine = os.environ.get("BENCH_ENGINE", "cell")
+    scene = scheme.setup(scene)
+    return scheme, scene
+
+
 def measure(n_steps: int) -> dict:
     import jax
     import jax.numpy as jnp
     from rigid_body_2d_3d_pysph_tpu.models.rigid_body import make_multi_step
 
-    scheme, scene = build_scene()
+    workload = os.environ.get("BENCH_WORKLOAD", "rigid")
+    if workload == "dem":
+        scheme, scene = build_dem_scene()
+        dt = jnp.asarray(5e-6)
+    else:
+        scheme, scene = build_scene()
+        dt = jnp.asarray(1e-4)
     step = scheme.make_step(scene)
     chunk = min(n_steps, 50)
     multi = make_multi_step(step, chunk)
-    dt = jnp.asarray(1e-4)
 
     # warmup/compile
     scene_w = multi(scene, dt)
@@ -138,9 +176,11 @@ if __name__ == "__main__":
         pass
 
     # ~48 quintic-kernel neighbors per particle in this 2D configuration
+    workload = os.environ.get("BENCH_WORKLOAD", "rigid")
+    name = "rigid-contact" if workload == "rigid" else "DEM-LVC"
     pair_evals = r["steps_per_sec"] * r["n"] * 48 * 2  # 2 pair passes/step
     print(json.dumps({
-        "metric": f"rigid-contact steps/sec @ {r['n']} particles "
+        "metric": f"{name} steps/sec @ {r['n']} particles "
                   f"({r['platform']}; ~{pair_evals:.3g} contact-pair "
                   f"evals/sec)",
         "value": round(r["steps_per_sec"], 3),

@@ -26,6 +26,12 @@ from rigid_body_2d_3d_pysph_tpu.state import (
 
 
 class GranularColumnCollapse(Application):
+    def add_user_options(self, group):
+        group.add_argument(
+            "--column-scale", dest="column_scale", type=float, default=1.0,
+            help="scale the column dimensions (10 -> ~113k grains; the "
+                 "cell-engine DEM path is built for this regime)")
+
     def initialize(self):
         self.dim = 2
         self.radius = 1e-3            # grain radius
@@ -40,6 +46,11 @@ class GranularColumnCollapse(Application):
         self.dt = 1e-6 * 5
         self.tf = 0.3
 
+    def consume_user_options(self):
+        k = float(getattr(self.options, "column_scale", 1.0) or 1.0)
+        self.column_width *= k
+        self.column_height *= k
+
     def create_particles(self):
         s = self.spacing
         xg, yg = get_2d_block(s, self.column_width, self.column_height)
@@ -53,7 +64,8 @@ class GranularColumnCollapse(Application):
             dem_id=np.zeros(n, np.int32),
         )
         # floor (wide enough that the runout stays on it)
-        xf = np.arange(-0.35, 0.35, 2 * self.radius)
+        xf = np.arange(-3.5 * self.column_height,
+                       3.5 * self.column_height, 2 * self.radius)
         yf = np.full(len(xf), -self.radius)
         floor = make_group(
             "floor", xf, yf, m=m, h=2.0 * self.radius, rho=self.rho,

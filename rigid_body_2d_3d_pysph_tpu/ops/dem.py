@@ -72,31 +72,21 @@ def _match_slots(tng_idx, tng_dem, j, dem_j):
 
 def _allocate_slots(free_mask, new_mask):
     """Assign the r-th new contact of each row to its r-th free slot.
-    Returns [N,K] slot ids (-1 if table full -> contact dropped)."""
+    Returns [N,K] slot ids (-1 if table full -> contact dropped).
+
+    TPU note: formulated as a dense [R, K, L] one-hot match (L is the
+    small contact-table width) — XLA scatters serialize on TPU and made
+    the original rank->slot table the dominant cost at 10^5 grains."""
     L = free_mask.shape[1]
     free_rank = jnp.cumsum(free_mask.astype(jnp.int32), axis=1) - 1
-    # table: rank -> slot index
-    n = free_mask.shape[0]
-    rows = jnp.broadcast_to(jnp.arange(n)[:, None], free_mask.shape)
-    rank_to_slot = jnp.full((n, L + 1), -1, jnp.int32).at[
-        rows, jnp.where(free_mask, free_rank, L)
-    ].set(
-        jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :],
-                         free_mask.shape),
-        mode="drop",
-    )[:, :L]
     n_free = jnp.sum(free_mask, axis=1)
     new_rank = jnp.cumsum(new_mask.astype(jnp.int32), axis=1) - 1
     ok = new_mask & (new_rank < n_free[:, None])
-    slot = jnp.where(
-        ok,
-        rank_to_slot[
-            jnp.broadcast_to(jnp.arange(n)[:, None], new_mask.shape),
-            jnp.clip(new_rank, 0, L - 1),
-        ],
-        -1,
-    )
-    return slot
+    match = (free_mask[:, None, :]
+             & (free_rank[:, None, :] == new_rank[:, :, None]))  # [R,K,L]
+    slot = jnp.sum(
+        jnp.where(match, jnp.arange(L, dtype=jnp.int32), 0), axis=2)
+    return jnp.where(ok, slot, -1)
 
 
 def lvc_displacement_core(q, s, xij, yij, zij, rij, cand, j, dem_j, dt,
@@ -185,24 +175,47 @@ def lvc_displacement_core(q, s, xij, yij, zij, rij, cand, j, dem_j, dt,
     ft_z = jnp.where(found, ft_z, 0.0)
 
     # --- write back table --------------------------------------------------
-    # found pairs: updated spring; new pairs: register with zero spring
-    def upd(tab, val_found, val_new):
-        tab = tab.at[rows, jnp.where(found, sf, tab.shape[1])].set(
-            val_found, mode="drop")
-        tab = tab.at[rows, jnp.where(slot_new >= 0, slot_new,
-                                     tab.shape[1])].set(val_new, mode="drop")
-        return tab
+    # found pairs: updated spring; new pairs: register with zero spring.
+    # Scatter-free: each (row, slot) has at most one contributing pair
+    # (candidate lists are duplicate-free), so a per-slot masked K-sum
+    # reproduces the scatter exactly — XLA scatters serialize on TPU.
+    Lc = tng_x.shape[1]
+    sfl = jnp.where(found, sf, -1)
+    snl = slot_new  # already -1 where unallocated
+
+    def slot_write(tab, val_found, val_new):
+        cols = []
+        for l in range(Lc):
+            m_f = sfl == l
+            m_n = snl == l
+            v = jnp.where(jnp.any(m_n, axis=1),
+                          jnp.sum(jnp.where(m_n, val_new, 0), axis=1,
+                                  dtype=tab.dtype),
+                          tab[:, l])
+            v = jnp.where(jnp.any(m_f, axis=1),
+                          jnp.sum(jnp.where(m_f, val_found, 0), axis=1,
+                                  dtype=tab.dtype),
+                          v)
+            cols.append(v)
+        return jnp.stack(cols, axis=1)
 
     zero = jnp.zeros_like(new_sx)
-    tng_x = upd(tng_x, jnp.where(found, new_sx, 0.0), zero)
-    tng_y = upd(tng_y, jnp.where(found, new_sy, 0.0), zero)
-    tng_z = upd(tng_z, jnp.where(found, new_sz, 0.0), zero)
-    tng_idx = tng_idx.at[rows, jnp.where(slot_new >= 0, slot_new,
-                                         tng_idx.shape[1])].set(
-        j.astype(jnp.int32), mode="drop")
-    tng_dem = tng_dem.at[rows, jnp.where(slot_new >= 0, slot_new,
-                                         tng_dem.shape[1])].set(
-        dem_j.astype(jnp.int32), mode="drop")
+    tng_x = slot_write(tng_x, jnp.where(found, new_sx, 0.0), zero)
+    tng_y = slot_write(tng_y, jnp.where(found, new_sy, 0.0), zero)
+    tng_z = slot_write(tng_z, jnp.where(found, new_sz, 0.0), zero)
+
+    def slot_write_new(tab, val_new):
+        cols = []
+        for l in range(Lc):
+            m_n = snl == l
+            cols.append(jnp.where(
+                jnp.any(m_n, axis=1),
+                jnp.sum(jnp.where(m_n, val_new, 0), axis=1,
+                        dtype=tab.dtype), tab[:, l]))
+        return jnp.stack(cols, axis=1)
+
+    tng_idx = slot_write_new(tng_idx, j.astype(jnp.int32))
+    tng_dem = slot_write_new(tng_dem, dem_j.astype(jnp.int32))
 
     gsum = lambda v: jnp.sum(jnp.where(gate, v, 0.0), axis=1)
     fx = gsum(fn_x + ft_x)
