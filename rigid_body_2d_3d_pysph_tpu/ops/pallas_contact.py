@@ -94,7 +94,7 @@ def _kernel(S, M, O, cutoff, kernel: Kernel, n_occ_ref, q_ref,
                 dft_hbm.at[nbr_row[row, o]], scratch.at[buf, o],
                 sems.at[buf, o]).start()
 
-    @pl.when(c == 0)
+    @pl.when((c == 0) & (n_occ > 0))
     def _():
         start_dmas(0, nbr_now, row_now)
 
