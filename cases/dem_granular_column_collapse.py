@@ -87,7 +87,9 @@ class GranularColumnCollapse(Application):
         self.scheme.configure_solver(dt=self.dt, tf=self.tf, pfreq=1000)
 
     def post_process(self, fname=None):
-        files = self.output_files
+        # glob the dir (resume-robust: self.output_files only holds the
+        # snapshots written by THIS process)
+        files = out_mod.get_files(self.output_dir)
         if not files:
             return None
         t, runout, height = [], [], []

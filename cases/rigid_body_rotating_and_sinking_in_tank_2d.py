@@ -124,7 +124,9 @@ class SinkingBox(Application):
         self.scheme.configure_solver(dt=dt, tf=4.0, pfreq=100)
 
     def post_process(self, fname=None):
-        files = self.output_files
+        # glob the dir (resume-robust: self.output_files only holds the
+        # snapshots written by THIS process)
+        files = out_mod.get_files(self.output_dir)
         if not files:
             return None
         t, ymax, ycm = [], [], []

@@ -173,7 +173,9 @@ class ZhangStackOfCylinders(Application):
         self.scheme.configure_solver(dt=self.dt, tf=self.tf, pfreq=100)
 
     def post_process(self, fname=None):
-        files = self.output_files
+        # glob the dir (resume-robust: self.output_files only holds the
+        # snapshots written by THIS process)
+        files = out_mod.get_files(self.output_dir)
         if not files:
             return None
         t, sx, sy = [], [], []

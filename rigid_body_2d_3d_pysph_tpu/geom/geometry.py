@@ -49,22 +49,25 @@ def get_3d_block(dx: float, length: float, height: float, depth: float,
 
 
 def get_2d_tank(dx: float, length: float, height: float, num_layers: int = 1):
-    """Open U-shaped 2D tank (PySPH ``get_2d_tank`` role).
+    """Open U-shaped 2D tank (PySPH ``get_2d_tank`` semantics).
 
-    Contract (relied upon by :func:`hydrostatic_tank_2d`): the inner
-    region spans ``[0, length] x [0, height]``; walls of ``num_layers``
-    particle rows sit *outside* it, so
-    ``min(x) == min(y) == -num_layers * dx`` and content aligned to
-    ``min + num_layers * dx`` sits exactly one spacing clear of the
-    innermost wall row.
+    Frame contract (PySPH parity — the benchmark cases place centered
+    bodies in the ABSOLUTE frame, reference
+    ``benchmark_3...py:88-90`` / ``benchmark_5...py:294-298``): the
+    inner region is x-CENTERED at the origin, spanning
+    ``[-length/2, length/2] x [0, height]``, with ``num_layers`` wall
+    rows outside it.  Min-aligned consumers
+    (:func:`hydrostatic_tank_2d`, the stack-of-cylinders dam) are
+    frame-agnostic.
     """
     L, H, k = length, height, num_layers
+    x0 = -L / 2.0
     # bottom slab: spans the full footprint including under the side walls
-    xb, yb = _grid(-k * dx, L + k * dx, -k * dx, -dx, dx)
+    xb, yb = _grid(x0 - k * dx, L + x0 + k * dx, -k * dx, -dx, dx)
     # left wall
-    xl, yl = _grid(-k * dx, -dx, 0.0, H, dx)
+    xl, yl = _grid(x0 - k * dx, x0 - dx, 0.0, H, dx)
     # right wall
-    xr, yr = _grid(L + dx, L + k * dx, 0.0, H, dx)
+    xr, yr = _grid(L + x0 + dx, L + x0 + k * dx, 0.0, H, dx)
     x = np.concatenate([xl, xr, xb])
     y = np.concatenate([yl, yr, yb])
     return x, y

@@ -27,11 +27,15 @@ def test_3d_block_counts():
 
 def test_tank_alignment_contract():
     dx, k = 0.05, 5
-    xt, yt = get_2d_tank(dx=dx, length=1.0, height=1.5, num_layers=k)
-    assert np.isclose(xt.min(), -k * dx)
+    L = 1.0
+    xt, yt = get_2d_tank(dx=dx, length=L, height=1.5, num_layers=k)
+    # PySPH frame parity: inner region x-centered at the origin (the
+    # benchmark cases place origin-centered bodies in absolute coords)
+    assert np.isclose(xt.min(), -L / 2 - k * dx)
+    assert np.isclose(xt.max(), L / 2 + k * dx)
     assert np.isclose(yt.min(), -k * dx)
     # wall thickness: k rows on each side
-    left = xt[xt < -dx / 2]
+    left = xt[xt < -L / 2 - dx / 2]
     assert len(np.unique(np.round(left, 9))) == k
 
 

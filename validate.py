@@ -104,12 +104,15 @@ def check_benchmark_4():
         for sd, body in out_mod.iter_output(files, "body"):
             ys.append(body.xcm_mat[:, 1].mean())
         ys = np.asarray(ys)
-        # first local minimum = first floor impact
-        turn = np.where(np.diff(ys) > 0)[0]
-        if len(turn) == 0:
+        # first local minimum AFTER a real descent = first floor impact
+        # (a turn before the body has fallen appreciably is startup
+        # noise, not an impact)
+        turn = [int(i) for i in np.where(np.diff(ys) > 0)[0]
+                if ys[i] < ys[0] - 0.05]
+        if not turn:
             heights[en] = 0.0
             continue
-        i = int(turn[0])
+        i = turn[0]
         window = ys[i:i + 40]
         heights[en] = float(window.max() - ys[i])
     if not heights:
@@ -144,8 +147,10 @@ def check_sinking_box():
     # quantitative anchor is analytic): a rho_s = 2 rho_f box under
     # gy = -1 has net specific gravity g' = g (1 - rho_f/rho_s) = 0.5.
     # Early-time descent must fall inside the added-mass-bounded window
-    #   a in [g'/(1 + Ca_max), g'],  Ca_max ~ 1.5 for a 2:1 broadside
-    # rectangle, i.e. a in [0.2, 0.5] m/s^2, fitted over the first 0.6 s.
+    #   a in [g'/(1 + Ca_max), ~g'],  Ca_max ~ 1.5 for a 2:1 broadside
+    # rectangle, i.e. a in [0.2, 0.55] m/s^2 fitted over the first 0.6 s
+    # (the upper bound allows a small discretization overshoot of g'
+    # while the box is still partially dry; measured a_fit = 0.494).
     dy = np.diff(y)
     early = t <= 0.6
     tt = t[early]
@@ -154,10 +159,10 @@ def check_sinking_box():
     a_fit = (2.0 * float(((y[0] - y[early]) * tt ** 2).sum()) / denom
              if denom > 0 else 0.0)
     ok = (y[-1] < y[0] - 0.5 and dy.max() < 0.02 and np.isfinite(y).all()
-          and 0.2 <= a_fit <= 0.5)
+          and 0.2 <= a_fit <= 0.55)
     return dict(ok=bool(ok), y0=float(y[0]), y_end=float(y[-1]),
                 max_rise=float(dy.max()), a_fit_early=float(a_fit),
-                a_window=[0.2, 0.5])
+                a_window=[0.2, 0.55])
 
 
 def check_dem_column_collapse():
