@@ -119,11 +119,15 @@ def measure(n_steps: int) -> dict:
     if workload == "dem":
         scheme, scene = build_dem_scene()
         dt = jnp.asarray(5e-6)
+        # scan chunks > 25 of the 100k-grain DEM program hit a TPU
+        # device fault on this axon setup (scan(25) is fine) — see
+        # ROADMAP.md known issues
+        chunk = min(n_steps, 25)
     else:
         scheme, scene = build_scene()
         dt = jnp.asarray(1e-4)
+        chunk = min(n_steps, 50)
     step = scheme.make_step(scene)
-    chunk = min(n_steps, 50)
     multi = make_multi_step(step, chunk)
 
     # warmup/compile
