@@ -39,7 +39,7 @@ def _tank_scene(with_body=False):
     ]
     if with_body:
         xb, yb = get_2d_block(dx, 0.2, 0.2)
-        xb += 0.5
+        xb += (xf.min() + xf.max()) / 2.0  # mid-tank (frame-agnostic)
         yb += yf.max() - yb.min() - 0.1  # partially submerged
         # carve the fluid void under the body (reference
         # rigid_body_...sinking...py:140-155)
