@@ -50,15 +50,20 @@ class DEMScheme(Scheme):
         self.dt = None
         self.tf = None
         self.pfreq = 100
-        # "cell": dense cell-block engine (TPU-fast at 10^5+ grains);
+        # "pallas": fused DEM Pallas kernel (TPU production path);
+        # "cell": dense cell-block engine (portable, 10^5+ grains);
         # "nklist": padded [N,K] lists (reference problem sizes).
         # LVCForce runs on nklist only (dormant in the reference too).
         from .rigid_body import _default_engine
         self.engine = _default_engine()
-        if self.engine == "pallas":  # no DEM Pallas kernel (yet)
-            self.engine = "cell"
+        # DEM-kernel grid: bins are cell_factor x the (tight, 2*rad_s)
+        # contact radius — coarser bins amortize the per-cell program +
+        # DMA cost over more lanes (the contact radius alone would give
+        # ~1 grain/cell).
+        self.cell_factor = 4.0
         self._nbr_cfg: Optional[nbmod.NeighborConfig] = None
         self._cell_cfg = None
+        self._pallas_cfg = None
 
     def add_user_options(self, group):
         group.add_argument("--contact-model", dest="contact_model",
@@ -133,14 +138,38 @@ class DEMScheme(Scheme):
                 np.asarray(scene.z), cutoff, self.dim)
         return self._cell_cfg
 
+    def pallas_cell_config(self, scene: Scene):
+        """Grid for the DEM Pallas kernel: cutoff = the exact contact
+        radius (2 max rad_s; interaction needs overlap > 0), bins
+        ``cell_factor`` x coarser (see __init__)."""
+        if self._pallas_cfg is None:
+            from ..ops import cellpairs as cellmod
+            cutoff = 2.0 * float(np.asarray(scene.rad_s).max())
+            self._pallas_cfg = cellmod.config_from_positions(
+                np.asarray(scene.x), np.asarray(scene.y),
+                np.asarray(scene.z), cutoff, self.dim,
+                cell_factor=self.cell_factor)
+        return self._pallas_cfg
+
+    def _use_pallas(self):
+        if self.engine != "pallas" or self.contact_model != "LVCDisplacement":
+            return False
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        return on_tpu and config.float_dtype() == jnp.float32
+
     def make_step(self, scene: Scene):
         if self._nbr_cfg is None:
             kernel = get_kernel(self.kernel_name, self.dim)
             self._nbr_cfg = self.neighbor_config(scene, kernel.radius_scale)
         cfg = self._nbr_cfg
-        use_cell = (self.engine == "cell"
+        use_pallas = self._use_pallas()
+        use_cell = (not use_pallas and self.engine in ("cell", "pallas")
                     and self.contact_model == "LVCDisplacement")
-        cell_cfg = self.cell_config(scene) if use_cell else None
+        cell_cfg = (self.pallas_cell_config(scene) if use_pallas
+                    else self.cell_config(scene) if use_cell else None)
         gx, gy, gz = self.gx, self.gy, self.gz
         displacement = self.contact_model == "LVCDisplacement"
         kn, mu, en = self.kn, self.mu, self.en
@@ -169,7 +198,23 @@ class DEMScheme(Scheme):
             )
 
             # stage-2 equations: prune table, body force, LVC contact
-            if use_cell:
+            if use_pallas:
+                from ..ops import cellpairs as cellmod
+                from ..ops import pallas_dem as pdops
+                # prune is fused into the kernel's slot matching
+                grid = cellmod.build_cell_grid(scene.x, scene.y, scene.z,
+                                               scene.active, cell_cfg)
+                (cfx, cfy, cfz, tx_, ty_, tz_, ti, td, ta, tb, tc,
+                 cnt) = pdops.lvc_displacement_cell_pallas(
+                     scene, grid, cell_cfg, dt,
+                     scene.tng_idx, scene.tng_idx_dem_id,
+                     scene.tng_x, scene.tng_y, scene.tng_z)
+                scene = scene.replace(tng_idx=ti, tng_idx_dem_id=td,
+                                      tng_x=ta, tng_y=tb, tng_z=tc,
+                                      total_tng_contacts=cnt,
+                                      nbr_overflow=(scene.nbr_overflow
+                                                    | grid.overflow))
+            elif use_cell:
                 from ..ops import cellpairs as cellmod
                 from ..ops import dem_cell as dcops
                 ti, td, ta, tb, tc, _ = dops.prune_contact_table(

@@ -255,20 +255,22 @@ class _RigidBodySchemeBase(Scheme):
         kernel = get_kernel(self.kernel_name, self.dim)
         params = dict(kr=self.kr, kf=self.kf, fric_coeff=self.fric_coeff,
                       gx=self.gx, gy=self.gy, gz=self.gz)
+        use_cell = self.engine in ("cell", "pallas")
+        cell_cfg = self.cell_config(scene, kernel) if use_cell else None
+        pipeline = self._cell_pipeline() if use_cell else None
+        if not use_cell and self._nbr_cfg is None:
+            self._nbr_cfg = self.neighbor_config(scene, kernel.radius_scale)
         if getattr(self, "integrator", "gtvf") == "rk2":
-            if self._nbr_cfg is None:
-                self._nbr_cfg = self.neighbor_config(scene,
-                                                     kernel.radius_scale)
             return build_rigid_rk2_step(kernel, self._nbr_cfg, params,
-                                        self.two_d)
+                                        self.two_d, cell_cfg=cell_cfg,
+                                        pipeline=pipeline)
         if getattr(self, "integrator", "gtvf") == "leapfrog":
             if self.two_d:
                 raise ValueError("leapfrog stepper is 3D-only "
                                  "(reference rigid_body_3d.py:228)")
-            if self._nbr_cfg is None:
-                self._nbr_cfg = self.neighbor_config(scene,
-                                                     kernel.radius_scale)
-            return build_rigid_leapfrog_step(kernel, self._nbr_cfg, params)
+            return build_rigid_leapfrog_step(kernel, self._nbr_cfg, params,
+                                             cell_cfg=cell_cfg,
+                                             pipeline=pipeline)
         if self.engine in ("cell", "pallas"):
             return build_rigid_gtvf_step_cell(
                 kernel, self.cell_config(scene, kernel), params, self.two_d,
@@ -529,6 +531,31 @@ def build_rigid_gtvf_step(kernel, cfg: nbmod.NeighborConfig, params: dict,
     return step
 
 
+def _make_force_eval(kernel, params, nbr_cfg=None, cell_cfg=None,
+                     pipeline=None):
+    """Engine-agnostic stage-2 force evaluation: (scene, dt) -> scene
+    with forces + overflow flag folded in.  Cell/Pallas engine when
+    ``cell_cfg`` is given, [N,K] lists otherwise — lets every stepper
+    (GTVF/RK2/leapfrog) ride the production pair engine."""
+    if cell_cfg is not None:
+        def ev(scene, dt):
+            scene, grid = _grid_for_step(scene, cell_cfg)
+            scene = rigid_contact_force_eval_cell(
+                scene, grid, cell_cfg, kernel, params, dt,
+                pipeline=pipeline)
+            return scene.replace(
+                nbr_overflow=scene.nbr_overflow | grid.overflow)
+    else:
+        def ev(scene, dt):
+            nbrs = nbmod.build_neighbors(scene.x, scene.y, scene.z,
+                                         scene.active, nbr_cfg)
+            scene = rigid_contact_force_eval(scene, nbrs, kernel, params,
+                                             dt)
+            return scene.replace(
+                nbr_overflow=scene.nbr_overflow | nbrs.overflow)
+    return ev
+
+
 def _rk2_body_stage(scene, frac_dt, two_d):
     """RK2 predictor/corrector body update from the saved t=0 state
     (reference ``RK2RigidBody3DStep.py_stage1/py_stage2``,
@@ -564,10 +591,13 @@ def _rk2_body_stage(scene, frac_dt, two_d):
     return scene.replace(**out)
 
 
-def build_rigid_rk2_step(kernel, cfg: nbmod.NeighborConfig, params: dict,
-                         two_d: bool):
+def build_rigid_rk2_step(kernel, cfg, params: dict, two_d: bool,
+                         cell_cfg=None, pipeline=None):
     """Predict-evaluate-correct RK2 timestep (reference
-    ``RK2RigidBody3DStep`` wired through an EPEC-style sequence)."""
+    ``RK2RigidBody3DStep`` wired through an EPEC-style sequence).
+    Runs on the cell/Pallas engine when ``cell_cfg`` is given."""
+    force_eval = _make_force_eval(kernel, params, nbr_cfg=cfg,
+                                  cell_cfg=cell_cfg, pipeline=pipeline)
 
     @jax.jit
     def step(scene: Scene, dt):
@@ -575,20 +605,15 @@ def build_rigid_rk2_step(kernel, cfg: nbmod.NeighborConfig, params: dict,
                               ang_mom0=scene.ang_mom, omega0=scene.omega,
                               R0=scene.R)
         # predictor: eval forces at t, advance half step
-        nbrs = nbmod.build_neighbors(scene.x, scene.y, scene.z,
-                                     scene.active, cfg)
-        scene = rigid_contact_force_eval(scene, nbrs, kernel, params, dt)
+        scene = force_eval(scene, dt)
         scene = _rk2_body_stage(scene, 0.5 * dt, two_d)
         scene = _particles_from_body_position(scene)
         scene = _particles_from_body_velocity(scene)
         # corrector: re-eval at midpoint, advance full step from saved
-        nbrs = nbmod.build_neighbors(scene.x, scene.y, scene.z,
-                                     scene.active, cfg)
-        scene = rigid_contact_force_eval(scene, nbrs, kernel, params, dt)
+        scene = force_eval(scene, dt)
         scene = _rk2_body_stage(scene, dt, two_d)
         scene = _particles_from_body_position(scene)
         scene = _particles_from_body_velocity(scene)
-        scene = scene.replace(nbr_overflow=scene.nbr_overflow | nbrs.overflow)
         return scene
 
     return step
@@ -617,11 +642,14 @@ def _leapfrog_body_stage(scene, frac_dt):
                          inertia_tensor_inverse_global_frame=Iinv)
 
 
-def build_rigid_leapfrog_step(kernel, cfg: nbmod.NeighborConfig,
-                              params: dict):
+def build_rigid_leapfrog_step(kernel, cfg, params: dict, cell_cfg=None,
+                              pipeline=None):
     """Reference ``LeapFrogRigidBody3DStep`` under the GTVF sequencing
     (save -> half-advance with stored force -> force eval -> full
-    advance from saved).  3D only, like the reference stepper."""
+    advance from saved).  3D only, like the reference stepper.  Runs on
+    the cell/Pallas engine when ``cell_cfg`` is given."""
+    force_eval = _make_force_eval(kernel, params, nbr_cfg=cfg,
+                                  cell_cfg=cell_cfg, pipeline=pipeline)
 
     @jax.jit
     def step(scene: Scene, dt):
@@ -630,13 +658,10 @@ def build_rigid_leapfrog_step(kernel, cfg: nbmod.NeighborConfig,
         scene = _leapfrog_body_stage(scene, 0.5 * dt)
         scene = _particles_from_body_position(scene)
         scene = _particles_from_body_velocity(scene)
-        nbrs = nbmod.build_neighbors(scene.x, scene.y, scene.z,
-                                     scene.active, cfg)
-        scene = rigid_contact_force_eval(scene, nbrs, kernel, params, dt)
+        scene = force_eval(scene, dt)
         scene = _leapfrog_body_stage(scene, dt)
         scene = _particles_from_body_position(scene)
         scene = _particles_from_body_velocity(scene)
-        scene = scene.replace(nbr_overflow=scene.nbr_overflow | nbrs.overflow)
         return scene
 
     return step

@@ -210,6 +210,48 @@ class RigidFluidCouplingScheme(Scheme):
         has_fluid = len(self.fluids) > 0
         has_rigid = len(self.rigid_bodies) > 0
         pipeline = self._cell_pipeline()
+        from ..ops import pallas_contact as pcops
+        from ..ops import pallas_fluid as pfops
+        # fluid passes ride the Pallas scaffold exactly when the contact
+        # pipeline does (TPU + f32 + quintic)
+        use_fluid_pallas = pipeline is pcops.contact_pipeline_cell_pallas
+
+        def run_rates(scene, grid):
+            if use_fluid_pallas:
+                df, dfT = pfops.pack_fluid_pallas(scene, grid, ccfg)
+                return pfops.fluid_rates_pallas(
+                    scene, grid, ccfg, kernel, df, dfT, nu_edac, c0, edac,
+                    has_rigid)
+            df, di = fcops.pack_fluid_scene(scene, grid, ccfg)
+            return fcops.fluid_rates_cell(
+                scene, grid, ccfg, kernel, df, di, nu_edac, c0, edac,
+                has_rigid)
+
+        def run_wall_bc(scene, grid):
+            """-> (uf, vf, wf, sw, p_num, ctx); ctx threads the packed
+            fields to run_forces on the XLA path."""
+            if use_fluid_pallas:
+                df, dfT = pfops.pack_fluid_pallas(scene, grid, ccfg)
+                return pfops.wall_bc_pallas(
+                    scene, grid, ccfg, kernel, df, dfT, gx, gy, gz) + (None,)
+            df, di = fcops.pack_fluid_scene(scene, grid, ccfg)
+            return fcops.wall_bc_cell(
+                scene, grid, ccfg, kernel, df, di, gx, gy, gz) + ((df, di),)
+
+        def run_forces(scene, grid, ctx):
+            if use_fluid_pallas:
+                # repack so sources see the post-wall-BC p / p_fsi
+                df, dfT = pfops.pack_fluid_pallas(scene, grid, ccfg)
+                return pfops.fluid_forces_pallas(
+                    scene, grid, ccfg, kernel, df, dfT, fluid_alpha, c0,
+                    has_rigid)
+            df, di = ctx
+            p_dense = pack_fields(grid, ccfg, [scene.p], [0.0])[..., 0]
+            pfsi_dense = pack_fields(grid, ccfg, [scene.p_fsi],
+                                     [0.0])[..., 0]
+            return fcops.fluid_forces_cell(
+                scene, grid, ccfg, kernel, df, di, p_dense, pfsi_dense,
+                fluid_alpha, c0, has_rigid)
 
         if self.gtvf_ordering == "kdk":
             @jax.jit
@@ -239,10 +281,7 @@ class RigidFluidCouplingScheme(Scheme):
                     grid = cellmod.build_cell_grid(
                         scene.x, scene.y, scene.z, scene.active, ccfg)
                     ovf = ovf | grid.overflow
-                    df, di = fcops.pack_fluid_scene(scene, grid, ccfg)
-                    arho, ap = fcops.fluid_rates_cell(
-                        scene, grid, ccfg, kernel, df, di, nu_edac, c0,
-                        edac, has_rigid)
+                    arho, ap = run_rates(scene, grid)
                     scene = scene.replace(arho=jnp.where(fl, arho, 0.0),
                                           ap=jnp.where(fl, ap, 0.0))
 
@@ -272,9 +311,7 @@ class RigidFluidCouplingScheme(Scheme):
                     if not edac:
                         p, cs = fops.tait_eos(scene, rho0, c0, gamma, fl)
                         scene = scene.replace(p=p, cs=cs)
-                    df, di = fcops.pack_fluid_scene(scene, grid, ccfg)
-                    uf, vf, wf, sw, p_num = fcops.wall_bc_cell(
-                        scene, grid, ccfg, kernel, df, di, gx, gy, gz)
+                    uf, vf, wf, sw, p_num, fctx = run_wall_bc(scene, grid)
                     has = sw > 1e-14
                     p_bc = jnp.where(has, p_num / jnp.where(has, sw, 1.0),
                                      p_num)
@@ -291,13 +328,8 @@ class RigidFluidCouplingScheme(Scheme):
                         wg=jnp.where(solid, 2.0 * scene.w - wfn, scene.wg),
                         wij_adami=jnp.where(solid, sw, scene.wij_adami),
                     )
-                    p_dense = pack_fields(grid, ccfg, [scene.p],
-                                          [0.0])[..., 0]
-                    pfsi_dense = pack_fields(grid, ccfg, [scene.p_fsi],
-                                             [0.0])[..., 0]
-                    aux, auy, auz, ffx, ffy, ffz = fcops.fluid_forces_cell(
-                        scene, grid, ccfg, kernel, df, di, p_dense,
-                        pfsi_dense, fluid_alpha, c0, has_rigid)
+                    aux, auy, auz, ffx, ffy, ffz = run_forces(scene, grid,
+                                                              fctx)
                     scene = scene.replace(
                         au=jnp.where(fl, gx + aux, 0.0),
                         av=jnp.where(fl, gy + auy, 0.0),
@@ -342,10 +374,7 @@ class RigidFluidCouplingScheme(Scheme):
 
             # ---- stage-1 equations: fluid rates (pre-kick velocities) --
             if has_fluid:
-                df, di = fcops.pack_fluid_scene(scene, grid, ccfg)
-                arho, ap = fcops.fluid_rates_cell(
-                    scene, grid, ccfg, kernel, df, di, nu_edac, c0, edac,
-                    has_rigid)
+                arho, ap = run_rates(scene, grid)
                 scene = scene.replace(arho=jnp.where(fl, arho, 0.0),
                                       ap=jnp.where(fl, ap, 0.0))
 
@@ -365,9 +394,7 @@ class RigidFluidCouplingScheme(Scheme):
                 if not edac:
                     p, cs = fops.tait_eos(scene, rho0, c0, gamma, fl)
                     scene = scene.replace(p=p, cs=cs)
-                df, di = fcops.pack_fluid_scene(scene, grid, ccfg)
-                uf, vf, wf, sw, p_num = fcops.wall_bc_cell(
-                    scene, grid, ccfg, kernel, df, di, gx, gy, gz)
+                uf, vf, wf, sw, p_num, fctx = run_wall_bc(scene, grid)
                 has = sw > 1e-14
                 p_bc = jnp.where(has, p_num / jnp.where(has, sw, 1.0),
                                  p_num)
@@ -385,12 +412,8 @@ class RigidFluidCouplingScheme(Scheme):
                     wg=jnp.where(solid, 2.0 * scene.w - wfn, scene.wg),
                     wij_adami=jnp.where(solid, sw, scene.wij_adami),
                 )
-                p_dense = pack_fields(grid, ccfg, [scene.p], [0.0])[..., 0]
-                pfsi_dense = pack_fields(grid, ccfg, [scene.p_fsi],
-                                         [0.0])[..., 0]
-                aux, auy, auz, ffx, ffy, ffz = fcops.fluid_forces_cell(
-                    scene, grid, ccfg, kernel, df, di, p_dense, pfsi_dense,
-                    fluid_alpha, c0, has_rigid)
+                aux, auy, auz, ffx, ffy, ffz = run_forces(scene, grid,
+                                                          fctx)
                 scene = scene.replace(
                     au=jnp.where(fl, gx + aux, 0.0),
                     av=jnp.where(fl, gy + auy, 0.0),

@@ -73,14 +73,18 @@ def config_from_positions(x, y, z, cutoff: float, dim: int,
                           occupancy_safety: float = 1.5,
                           sub: int = 1,
                           cell_chunk: int = 512,
-                          skin: float = 0.0) -> CellGridConfig:
+                          skin: float = 0.0,
+                          cell_factor: float = 1.0) -> CellGridConfig:
     """Host-side: bound the domain from initial positions with ``slack``
     x extent margins; size M from measured occupancy and NC_max from the
     occupied-cell count.  ``sub`` bins per cutoff trades a wider stencil
     ((2*sub+1)^dim cells) for tighter candidate sets.  ``skin`` widens
     the bins so the grid stays valid until any particle has moved more
-    than skin/2 since the build (Verlet-list reuse)."""
-    cell = (float(cutoff) + float(skin)) / sub
+    than skin/2 since the build (Verlet-list reuse).  ``cell_factor``
+    >= 1 makes the bins COARSER than the cutoff (fewer cells, more
+    lanes per cell) — used by the DEM kernel, whose contact radius is
+    far smaller than a comfortable cell size."""
+    cell = float(cell_factor) * (float(cutoff) + float(skin)) / sub
     x = np.asarray(x); y = np.asarray(y); z = np.asarray(z)
     pts = [x, y] + ([z] if dim == 3 else [])
     lo = np.array([p.min() for p in pts])

@@ -1,0 +1,381 @@
+"""Fused Pallas TPU kernel for the DEM LVC-displacement pipeline.
+
+One kernel program per occupied cell evaluates, entirely in VMEM, what
+the XLA cell engine (``dem_cell.lvc_displacement_cell``) plus the
+separate ``dem.prune_contact_table`` pass spread over several
+HBM-materialized [R, K, L] tensors: the Luding LVC pair force
+(reference ``code/dem.py:35-205``), the tangential contact-table prune
+(:208-293), slot matching, new-slot allocation, and the table
+writeback.  The XLA formulation's [R, K, L] match/alloc intermediates
+have an L=8 minor dim (16x tile padding on TPU) and its per-slot
+writeback makes 5L masked sweeps over [R, K] in HBM; here the L axis is
+a statically unrolled register loop over [M, OM] vregs.
+
+Prune fusion: the standalone prune frees slots whose pair no longer
+overlaps (or changed dem id).  Any still-overlapping pair is
+necessarily within the grid cutoff, so it appears among this cell's
+candidates and is re-matched here; a slot NOT matched by any gated
+candidate is exactly a slot the prune would free.  Freed slots are
+available to new contacts in the same step, matching the reference's
+prune -> evaluate group order.  (Requires cfg.radius >= 2*max(rad_s),
+asserted by the wrapper.)
+
+Layout per program (all f32; int-valued fields ride as exact f32):
+
+* query block   ``[M, F]``   (BlockSpec over the packed [NC, M, F]),
+* query tables  ``[M, 5L]``  (idx | dem | sx | sy | sz, L lanes each),
+* source block  ``[F, OM]``  DMA'd per stencil cell from the
+  field-major pack with a 2-deep revolving buffer (as
+  ``pallas_contact._kernel``),
+* new-contact ranks via one [M, OM] x [OM, OM] strictly-lower
+  triangular MXU contraction (prefix count along the candidate axis),
+* per-entity materials (kn/kt/alpha/mu) + dt from an SMEM params block.
+
+Equivalence with prune+``lvc_displacement_cell`` is covered by
+tests/test_pallas_dem.py (interpret mode) and on-TPU by bench/case
+runs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .cellpairs import CellGrid, CellGridConfig
+
+_BIG = 1.0e9
+
+# packed f32 field order
+(_DX, _DY, _DZ, _DU, _DV, _DW, _DWX, _DWY, _DWZ, _DRAD, _DM, _DDEM,
+ _DIDX) = range(13)
+_NF = 13
+_SENT = [_BIG, _BIG, _BIG, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+         -1.0, -1.0]
+
+
+def _kernel(L, E, M, O, cutoff, n_occ_ref, q_ref, tab_ref, nbr_now,
+            nbr_nxt, params_ref, dft_hbm, out_ref, scratch, sems):
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    n_occ = n_occ_ref[0]
+
+    row_now = jax.lax.rem(c, jnp.int32(8))
+    row_nxt = jax.lax.rem(jnp.minimum(c + 1, nc - 1), jnp.int32(8))
+
+    def start_dmas(buf, nbr_row, row):
+        for o in range(O):
+            pltpu.make_async_copy(
+                dft_hbm.at[nbr_row[row, o]], scratch.at[buf, o],
+                sems.at[buf, o]).start()
+
+    @pl.when((c == 0) & (n_occ > 0))
+    def _():
+        start_dmas(0, nbr_now, row_now)
+
+    @pl.when((c + 1 < nc) & (c + 1 < n_occ))
+    def _():
+        start_dmas(jax.lax.rem(c + jnp.int32(1), jnp.int32(2)), nbr_nxt,
+                   row_nxt)
+
+    W = 8 + 5 * L
+
+    def compute():
+        buf = jax.lax.rem(c, jnp.int32(2))
+        for o in range(O):
+            pltpu.make_async_copy(
+                dft_hbm.at[nbr_now[row_now, o]], scratch.at[buf, o],
+                sems.at[buf, o]).wait()
+        q = q_ref[0]          # [M, F]
+        tab = tab_ref[0]      # [M, 5L]
+        sL = jnp.concatenate([scratch[buf, o][:, :M] for o in range(O)],
+                             axis=1)  # [F, OM]
+        dt = params_ref[0, 4]
+
+        def qcol(f):
+            return q[:, f:f + 1]          # [M, 1]
+
+        def srow(f):
+            return sL[f:f + 1, :]         # [1, OM]
+
+        def tcol(block, l):
+            return tab[:, block * L + l:block * L + l + 1]  # [M, 1]
+
+        # ---- pair geometry --------------------------------------------
+        xij = qcol(_DX) - srow(_DX)
+        yij = qcol(_DY) - srow(_DY)
+        zij = qcol(_DZ) - srow(_DZ)
+        rij = jnp.sqrt(xij * xij + yij * yij + zij * zij)
+        j_s = jnp.broadcast_to(srow(_DIDX), rij.shape)    # [M, OM]
+        dem_s = jnp.broadcast_to(srow(_DDEM), rij.shape)
+        overlap = qcol(_DRAD) + srow(_DRAD) - rij
+        cand = (j_s >= 0.0) & (j_s != qcol(_DIDX)) & (rij <= cutoff)
+        gate = cand & (rij > 0.0) & (overlap > 0.0)
+
+        # ---- per-source materials (entity count is tiny/static) -------
+        kn = jnp.zeros_like(rij)
+        kt = jnp.zeros_like(rij)
+        alpha = jnp.zeros_like(rij)
+        mu = jnp.zeros_like(rij)
+        for e in range(E):
+            m_e = dem_s == float(e)
+            kn = jnp.where(m_e, params_ref[e, 0], kn)
+            kt = jnp.where(m_e, params_ref[e, 1], kt)
+            alpha = jnp.where(m_e, params_ref[e, 2], alpha)
+            mu = jnp.where(m_e, params_ref[e, 3], mu)
+
+        # ---- LVC normal force (dem.py lvc_displacement_core) ----------
+        rinv = 1.0 / jnp.maximum(rij, 1e-30)
+        nx, ny, nz = xij * rinv, yij * rinv, zij * rinv
+        a_i = qcol(_DRAD) - overlap * 0.5
+        a_j = srow(_DRAD) - overlap * 0.5
+        vi_x = qcol(_DU) + (qcol(_DWY) * nz - qcol(_DWZ) * ny) * a_i
+        vi_y = qcol(_DV) + (qcol(_DWZ) * nx - qcol(_DWX) * nz) * a_i
+        vi_z = qcol(_DW) + (qcol(_DWX) * ny - qcol(_DWY) * nx) * a_i
+        vj_x = srow(_DU) + (-srow(_DWY) * nz + srow(_DWZ) * ny) * a_j
+        vj_y = srow(_DV) + (-srow(_DWZ) * nx + srow(_DWX) * nz) * a_j
+        vj_z = srow(_DW) + (-srow(_DWX) * ny + srow(_DWY) * nx) * a_j
+        vij_x, vij_y, vij_z = vi_x - vj_x, vi_y - vj_y, vi_z - vj_z
+        vdotn = vij_x * nx + vij_y * ny + vij_z * nz
+        vt_x = vij_x - vdotn * nx
+        vt_y = vij_y - vdotn * ny
+        vt_z = vij_z - vdotn * nz
+        m_q = qcol(_DM)
+        m_s = srow(_DM)
+        m_eff = m_q * m_s / jnp.maximum(m_q + m_s, 1e-30)
+        eta_n = alpha * jnp.sqrt(m_eff)
+        fn = kn * overlap - eta_n * vdotn
+        fn_x, fn_y, fn_z = fn * nx, fn * ny, fn * nz
+
+        # ---- slot match (prune fused: unmatched slots free) -----------
+        found = jnp.zeros_like(gate)
+        matched_l = []                      # [M, 1] per slot
+        eq_ls = []                          # [M, OM] per slot
+        sx = jnp.zeros_like(rij)
+        sy = jnp.zeros_like(rij)
+        sz = jnp.zeros_like(rij)
+        one = jnp.ones_like(rij)
+        zero = jnp.zeros_like(rij)
+        for l in range(L):
+            eq = gate & (j_s == tcol(0, l)) & (dem_s == tcol(1, l))
+            eq_ls.append(eq)
+            matched_l.append(
+                jnp.sum(jnp.where(eq, one, zero), axis=1, keepdims=True)
+                > 0.0)
+            found = found | eq
+            sx = jnp.where(eq, jnp.broadcast_to(tcol(2, l), rij.shape), sx)
+            sy = jnp.where(eq, jnp.broadcast_to(tcol(3, l), rij.shape), sy)
+            sz = jnp.where(eq, jnp.broadcast_to(tcol(4, l), rij.shape), sz)
+
+        # spring projected onto the current contact plane (:156-161)
+        sdotn = sx * nx + sy * ny + sz * nz
+        sx, sy, sz = sx - sdotn * nx, sy - sdotn * ny, sz - sdotn * nz
+
+        ft_x = -kt * sx - eta_n * vt_x
+        ft_y = -kt * sy - eta_n * vt_y
+        ft_z = -kt * sz - eta_n * vt_z
+        ft_magn = jnp.sqrt(ft_x * ft_x + ft_y * ft_y + ft_z * ft_z)
+        has_t = ft_magn > 1e-12
+        inv_ft = jnp.where(has_t, 1.0 / jnp.maximum(ft_magn, 1e-30), 0.0)
+        tx, ty, tz = ft_x * inv_ft, ft_y * inv_ft, ft_z * inv_ft
+        fn_mu = mu * fn
+        slip = ft_magn > fn_mu
+        ft_x = jnp.where(slip, fn_mu * tx, ft_x)
+        ft_y = jnp.where(slip, fn_mu * ty, ft_y)
+        ft_z = jnp.where(slip, fn_mu * tz, ft_z)
+        kt_inv = 1.0 / jnp.where(kt > 0.0, kt, 1.0)
+        new_sx = jnp.where(slip, -kt_inv * (fn_mu * tx + eta_n * vt_x),
+                           sx + vt_x * dt)
+        new_sy = jnp.where(slip, -kt_inv * (fn_mu * ty + eta_n * vt_y),
+                           sy + vt_y * dt)
+        new_sz = jnp.where(slip, -kt_inv * (fn_mu * tz + eta_n * vt_z),
+                           sz + vt_z * dt)
+        # new contacts contribute no tangential force this step (:140-148)
+        ft_x = jnp.where(found, ft_x, 0.0)
+        ft_y = jnp.where(found, ft_y, 0.0)
+        ft_z = jnp.where(found, ft_z, 0.0)
+
+        # ---- new-slot allocation --------------------------------------
+        OM = rij.shape[1]
+        new_mask = gate & ~found
+        new_f = jnp.where(new_mask, 1.0, 0.0)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (OM, OM), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (OM, OM), 1)
+        strict_lt = jnp.where(row_i < col_i, 1.0, 0.0)     # [OM, OM]
+        new_rank = jax.lax.dot_general(
+            new_f, strict_lt,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [M, OM]
+        free_rank = jnp.zeros((M, 1), jnp.float32)
+        free_ls, free_rank_ls = [], []
+        for l in range(L):
+            fr_l = jnp.where(matched_l[l], 0.0, 1.0)       # [M, 1]
+            free_ls.append(fr_l > 0.0)
+            free_rank_ls.append(free_rank)
+            free_rank = free_rank + fr_l
+        n_free = free_rank                                 # [M, 1]
+        ok_new = new_mask & (new_rank < n_free)
+
+        # ---- per-slot writeback + force sums --------------------------
+        def lanesum(mask, v):
+            return jnp.sum(jnp.where(mask, v, zero), axis=1,
+                           keepdims=True)
+
+        cols = []
+        out_idx, out_dem, out_sx, out_sy, out_sz = [], [], [], [], []
+        cnt = jnp.zeros((M, 1), jnp.float32)
+        for l in range(L):
+            takes = (ok_new & (new_rank == free_rank_ls[l])
+                     & jnp.broadcast_to(free_ls[l], new_mask.shape))
+            any_f = jnp.where(matched_l[l], 1.0, 0.0)
+            any_n = jnp.where(lanesum(takes, one) > 0.0, 1.0, 0.0)
+            eq = eq_ls[l]
+            idx_l = (any_f * tcol(0, l) + (1.0 - any_f)
+                     * (any_n * lanesum(takes, j_s) + (any_n - 1.0)))
+            dem_l = (any_f * tcol(1, l) + (1.0 - any_f)
+                     * (any_n * lanesum(takes, dem_s) + (any_n - 1.0)))
+            out_idx.append(idx_l)
+            out_dem.append(dem_l)
+            out_sx.append(any_f * lanesum(eq, new_sx))
+            out_sy.append(any_f * lanesum(eq, new_sy))
+            out_sz.append(any_f * lanesum(eq, new_sz))
+            cnt = cnt + jnp.where(idx_l >= 0.0, 1.0, 0.0)
+
+        fx = lanesum(gate, fn_x + ft_x)
+        fy = lanesum(gate, fn_y + ft_y)
+        fz = lanesum(gate, fn_z + ft_z)
+        trx = lanesum(gate, (ny * ft_z - nz * ft_y) * a_i)
+        trY = lanesum(gate, (nz * ft_x - nx * ft_z) * a_i)
+        trz = lanesum(gate, (nx * ft_y - ny * ft_x) * a_i)
+        return jnp.concatenate(
+            [fx, fy, fz, trx, trY, trz, cnt, jnp.zeros((M, 1), jnp.float32)]
+            + out_idx + out_dem + out_sx + out_sy + out_sz, axis=1)
+
+    def inactive():
+        return jnp.concatenate(
+            [jnp.zeros((M, 8), jnp.float32),
+             jnp.full((M, 2 * L), -1.0, jnp.float32),
+             jnp.zeros((M, 3 * L), jnp.float32)], axis=1)
+
+    out_ref[0] = jax.lax.cond(c < n_occ, compute, inactive)
+
+
+def dem_sums_pallas(df, tab, src_l, params, n_occ, nbr_slots,
+                    cfg: CellGridConfig, L: int, E: int,
+                    interpret: bool = False):
+    """Raw per-slot DEM outputs for every cell: [NC, M, 8+5L] f32
+    (fx fy fz torx tory torz count pad | idx | dem | sx | sy | sz)."""
+    NC, M, F = df.shape
+    O = nbr_slots.shape[1]
+    kern = functools.partial(_kernel, L, E, M, O, cfg.radius)
+    W = 8 + 5 * L
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((1, M, F), lambda c, n: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, 5 * L), lambda c, n: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, O), lambda c, n: (c // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, O),
+                         lambda c, n: (jnp.minimum(c + 1, NC - 1) // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 8), lambda c, n: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, M, W), lambda c, n: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, O, F, -(-M // 128) * 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, O)),
+        ],
+    )
+    slots = jnp.minimum(nbr_slots, NC).astype(jnp.int32)
+    if NC % 8:
+        slots = jnp.concatenate(
+            [slots, jnp.full((8 - NC % 8, O), NC, jnp.int32)], axis=0)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NC, M, W), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(n_occ, jnp.int32).reshape(1), df, tab, slots, slots,
+      params, src_l)
+
+
+def lvc_displacement_cell_pallas(scene, grid: CellGrid,
+                                 cfg: CellGridConfig, dt,
+                                 tng_idx, tng_dem, tng_x, tng_y, tng_z,
+                                 interpret: bool = False):
+    """Drop-in for ``prune_contact_table`` + ``lvc_displacement_cell``:
+    same returns (force/torque [N] + updated [N, L] table + count), with
+    the prune fused into the kernel's slot matching."""
+    from .cellpairs import pack_fields, pack_rows, unpack
+
+    n = scene.n
+    fdt = scene.x.dtype
+    L = tng_idx.shape[1]
+    E = int(scene.dem_kn.shape[0])
+    if E > 8:
+        raise NotImplementedError("pallas DEM kernel: > 8 dem entities")
+    # prune fusion soundness: every overlapping pair must be a candidate
+    # (checked only when rad_s is concrete — schemes call this under jit
+    # with a config they built from the same scene)
+    if not isinstance(scene.rad_s, jax.core.Tracer):
+        assert cfg.radius >= 2.0 * float(jnp.max(scene.rad_s)), (
+            "pallas DEM kernel requires cutoff >= 2*max(rad_s) so the "
+            "fused prune sees every still-overlapping pair")
+
+    df = pack_fields(
+        grid, cfg,
+        [scene.x, scene.y, scene.z, scene.u, scene.v, scene.w,
+         scene.wx, scene.wy, scene.wz, scene.rad_s, scene.m,
+         scene.dem_id.astype(fdt),
+         jnp.arange(n, dtype=jnp.int32).astype(fdt)],
+        _SENT).astype(jnp.float32)
+    tabs = [pack_rows(grid, cfg, tng_idx.astype(fdt), -1.0),
+            pack_rows(grid, cfg, tng_dem.astype(fdt), -1.0),
+            pack_rows(grid, cfg, tng_x, 0.0),
+            pack_rows(grid, cfg, tng_y, 0.0),
+            pack_rows(grid, cfg, tng_z, 0.0)]
+    tab = jnp.concatenate(tabs, axis=2).astype(jnp.float32)
+
+    NC, M, F = df.shape
+    sent = jnp.broadcast_to(jnp.asarray(_SENT, df.dtype), (M, F))[None]
+    dfT = jnp.swapaxes(jnp.concatenate([df, sent], axis=0), 1, 2)
+    lane = -(-M // 128) * 128  # Mosaic DMA slices: 128-aligned minor dim
+    if M < lane:
+        pad = jnp.broadcast_to(
+            jnp.asarray(_SENT, df.dtype)[None, :, None],
+            (NC + 1, F, lane - M))
+        dfT = jnp.concatenate([dfT, pad], axis=2)
+
+    params = jnp.zeros((8, 8), jnp.float32)
+    mat = jnp.stack([scene.dem_kn, scene.dem_kt, scene.dem_alpha,
+                     scene.dem_mu], axis=1).astype(jnp.float32)  # [E, 4]
+    params = params.at[:E, :4].set(mat)
+    params = params.at[0, 4].set(jnp.asarray(dt, jnp.float32))
+
+    dense = dem_sums_pallas(df, tab, dfT, params, grid.n_occupied,
+                            grid.nbr_slots, cfg, L, E, interpret=interpret)
+    # dropped rows (inactive/out-of-domain) keep an EMPTY table: idx/dem
+    # unpack with -1 fill, everything else with 0
+    out = unpack(grid, cfg, dense[..., :8], n, 0.0).astype(fdt)
+    tabi = unpack(grid, cfg, dense[..., 8:8 + 2 * L], n, -1.0)
+    tabf = unpack(grid, cfg, dense[..., 8 + 2 * L:], n, 0.0).astype(fdt)
+
+    fx, fy, fz = out[:, 0], out[:, 1], out[:, 2]
+    trx, try_, trz = out[:, 3], out[:, 4], out[:, 5]
+    count = out[:, 6].astype(jnp.int32)
+    idx = tabi[:, 0:L].astype(jnp.int32)
+    dem = tabi[:, L:2 * L].astype(jnp.int32)
+    sx = tabf[:, 0:L]
+    sy = tabf[:, L:2 * L]
+    sz = tabf[:, 2 * L:3 * L]
+    return (fx, fy, fz, trx, try_, trz, idx, dem, sx, sy, sz, count)

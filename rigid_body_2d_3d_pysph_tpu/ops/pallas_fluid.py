@@ -1,0 +1,318 @@
+"""Fused Pallas TPU kernels for the WCSPH/EDAC/FSI fluid passes.
+
+The coupling scheme's three fluid pair passes (``ops.fluid_cell``:
+rates R, wall-BC W, momentum+FSI F; reference
+``code/rigid_fluid_coupling.py:67-226,489-554``) are plain per-particle
+lane reductions — no per-entity slot sums — so they share one generic
+per-cell scaffold: query block in VMEM, the 9/27 stencil source blocks
+DMA'd in-kernel with a 2-deep revolving buffer (same scheme as
+``pallas_contact._kernel``), pair matrices as [M, OM] vregs, outputs a
+[M, W] reduction block.  The XLA cell engine streams [C, M, OM]
+intermediates through HBM per chunk; here HBM sees only the packed
+fields and the [NC, M, W] outputs.
+
+W and F stay separate kernels: the Adami wall pressure written by W is
+read by F through OTHER cells' sources, so a barrier (the [N]-order
+update + repack) must sit between them — the same group ordering as the
+reference (:691-743).
+
+Equivalence with the XLA engine: tests/test_pallas_fluid.py (interpret
+mode) and the coupling scheme's cross-engine tests on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .cellpairs import CellGrid, CellGridConfig, pack_fields, unpack
+from .kernels import Kernel
+
+_BIG = 1.0e9
+
+# packed f32 field order (fluid_cell layout + the three phase flags)
+(_FX, _FY, _FZ, _FU, _FV, _FW, _FM, _FRHO, _FH, _FP,
+ _FMFSI, _FRHOFSI, _FPFSI, _FFLUID, _FBDRY, _FRIGID) = range(16)
+_NF = 16
+_SENT = [_BIG, _BIG, _BIG, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 0.0,
+         0.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+
+
+def pack_fluid_pallas(scene, grid: CellGrid, cfg: CellGridConfig):
+    """[NC, M, 16] f32 pack + its field-major DMA view [NC+1, 16, lane]."""
+    fdt = scene.x.dtype
+    df = pack_fields(
+        grid, cfg,
+        [scene.x, scene.y, scene.z, scene.u, scene.v, scene.w,
+         scene.m, scene.rho, scene.h, scene.p,
+         scene.m_fsi, scene.rho_fsi, scene.p_fsi,
+         scene.is_fluid.astype(fdt), scene.is_static_boundary.astype(fdt),
+         scene.is_rigid.astype(fdt)],
+        _SENT).astype(jnp.float32)
+    NC, M, F = df.shape
+    sent = jnp.broadcast_to(jnp.asarray(_SENT, df.dtype), (M, F))[None]
+    dfT = jnp.swapaxes(jnp.concatenate([df, sent], axis=0), 1, 2)
+    lane = -(-M // 128) * 128
+    if M < lane:
+        pad = jnp.broadcast_to(
+            jnp.asarray(_SENT, df.dtype)[None, :, None],
+            (NC + 1, F, lane - M))
+        dfT = jnp.concatenate([dfT, pad], axis=2)
+    return df, dfT
+
+
+def _scaffold(compute, W, M, O, n_occ_ref, q_ref, nbr_now, nbr_nxt,
+              dft_hbm, out_ref, scratch, sems):
+    """Generic per-cell pair kernel: DMA the stencil blocks, hand
+    (q [M, F], sL [F, OM]) to ``compute`` -> [M, W]."""
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    n_occ = n_occ_ref[0]
+    row_now = jax.lax.rem(c, jnp.int32(8))
+    row_nxt = jax.lax.rem(jnp.minimum(c + 1, nc - 1), jnp.int32(8))
+
+    def start_dmas(buf, nbr_row, row):
+        for o in range(O):
+            pltpu.make_async_copy(
+                dft_hbm.at[nbr_row[row, o]], scratch.at[buf, o],
+                sems.at[buf, o]).start()
+
+    @pl.when((c == 0) & (n_occ > 0))
+    def _():
+        start_dmas(0, nbr_now, row_now)
+
+    @pl.when((c + 1 < nc) & (c + 1 < n_occ))
+    def _():
+        start_dmas(jax.lax.rem(c + jnp.int32(1), jnp.int32(2)), nbr_nxt,
+                   row_nxt)
+
+    def active():
+        buf = jax.lax.rem(c, jnp.int32(2))
+        for o in range(O):
+            pltpu.make_async_copy(
+                dft_hbm.at[nbr_now[row_now, o]], scratch.at[buf, o],
+                sems.at[buf, o]).wait()
+        sL = jnp.concatenate([scratch[buf, o][:, :M] for o in range(O)],
+                             axis=1)  # [F, OM]
+        return compute(q_ref[0], sL)
+
+    out_ref[0] = jax.lax.cond(c < n_occ, active,
+                              lambda: jnp.zeros((M, W), jnp.float32))
+
+
+def cell_pair_pallas(df, dfT, n_occ, nbr_slots, cfg: CellGridConfig,
+                     compute, W: int, interpret: bool = False):
+    """Run ``compute(q, sL) -> [M, W]`` once per occupied cell; returns
+    [NC, M, W] f32 (zeros on the NC_max slack)."""
+    NC, M, F = df.shape
+    O = nbr_slots.shape[1]
+    kern = functools.partial(_scaffold, compute, W, M, O)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((1, M, F), lambda c, n: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, O), lambda c, n: (c // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, O),
+                         lambda c, n: (jnp.minimum(c + 1, NC - 1) // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, M, W), lambda c, n: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, O, F, -(-M // 128) * 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, O)),
+        ],
+    )
+    slots = jnp.minimum(nbr_slots, NC).astype(jnp.int32)
+    if NC % 8:
+        slots = jnp.concatenate(
+            [slots, jnp.full((8 - NC % 8, O), NC, jnp.int32)], axis=0)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NC, M, W), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(n_occ, jnp.int32).reshape(1), df, slots, slots, dfT)
+
+
+def _pair_geom(q, sL, kernel: Kernel):
+    def qc(f):
+        return q[:, f:f + 1]
+
+    def sr(f):
+        return sL[f:f + 1, :]
+
+    xij = qc(_FX) - sr(_FX)
+    yij = qc(_FY) - sr(_FY)
+    zij = qc(_FZ) - sr(_FZ)
+    r2 = xij * xij + yij * yij + zij * zij
+    rij = jnp.sqrt(r2)
+    hij = 0.5 * (qc(_FH) + sr(_FH))
+    return qc, sr, xij, yij, zij, rij, r2, hij
+
+
+def fluid_rates_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
+                       kernel: Kernel, df, dfT, nu_edac: float, c0: float,
+                       edac: bool, has_rigid: bool,
+                       interpret: bool = False):
+    """Pass R on the Pallas scaffold: per-particle (arho, ap)
+    (``fluid_cell.fluid_rates_cell`` physics, reference
+    ContinuityEquation + EDAC :67-141)."""
+    cutoff = cfg.radius
+    cs2 = c0 * c0
+
+    def compute(q, sL):
+        qc, sr, xij, yij, zij, rij, r2, hij = _pair_geom(q, sL, kernel)
+        in_range = rij <= cutoff
+        dest_fluid = qc(_FFLUID) == 1.0
+        src_flbd = (sr(_FFLUID) == 1.0) | (sr(_FBDRY) == 1.0)
+        src_rigid = sr(_FRIGID) == 1.0
+
+        dw = kernel.gradw_scalar(rij, hij)
+        dwx, dwy, dwz = dw * xij, dw * yij, dw * zij
+        vdotdw = ((qc(_FU) - sr(_FU)) * dwx + (qc(_FV) - sr(_FV)) * dwy
+                  + (qc(_FW) - sr(_FW)) * dwz)
+        xdotdw = xij * dwx + yij * dwy + zij * dwz
+        eps = 0.01 * hij * hij
+        rhoi, pi, mi = qc(_FRHO), qc(_FP), qc(_FM)
+
+        def rates(mj, rhoj, pj, gate):
+            g = gate & dest_fluid & in_range
+            arho = jnp.sum(jnp.where(g, rhoi * mj / rhoj * vdotdw, 0.0),
+                           axis=1, keepdims=True)
+            if not edac:
+                return arho, jnp.zeros_like(arho)
+            ap1 = rhoi / rhoj * cs2 * mj * vdotdw
+            Vi = mi / rhoi
+            Vj = mj / rhoj
+            etaij = 2.0 * nu_edac * (rhoi * rhoj) / (rhoi + rhoj)
+            tmp = (1.0 / jnp.maximum(mi, 1e-30)) * (Vi * Vi + Vj * Vj) \
+                * etaij * xdotdw / (r2 + eps)
+            ap = jnp.sum(jnp.where(g, ap1 + tmp * (pi - pj), 0.0),
+                         axis=1, keepdims=True)
+            return arho, ap
+
+        arho, ap = rates(sr(_FM), sr(_FRHO), sr(_FP), src_flbd)
+        if has_rigid:
+            a2, p2 = rates(sr(_FMFSI), sr(_FRHOFSI), sr(_FPFSI), src_rigid)
+            arho, ap = arho + a2, ap + p2
+        return jnp.concatenate([arho, ap], axis=1)
+
+    out = cell_pair_pallas(df, dfT, grid.n_occupied, grid.nbr_slots, cfg,
+                           compute, 2, interpret=interpret)
+    n = scene.n
+    out = unpack(grid, cfg, out, n, 0.0).astype(scene.x.dtype)
+    return out[:, 0], out[:, 1]
+
+
+def wall_bc_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
+                   kernel: Kernel, df, dfT, gx: float, gy: float,
+                   gz: float, interpret: bool = False):
+    """Pass W: Shepard sums (uf, vf, wf, wij_sum, p_num) for solid
+    destinations (``fluid_cell.wall_bc_cell``; Adami BC :145-226)."""
+    cutoff = cfg.radius
+
+    def compute(q, sL):
+        qc, sr, xij, yij, zij, rij, r2, hij = _pair_geom(q, sL, kernel)
+        dest_solid = (qc(_FBDRY) == 1.0) | (qc(_FRIGID) == 1.0)
+        g = dest_solid & (sr(_FFLUID) == 1.0) & (rij <= cutoff)
+        w = jnp.where(g, kernel.w(rij, hij), 0.0)
+
+        def lsum(v):
+            return jnp.sum(v, axis=1, keepdims=True)
+
+        gdotx = gx * xij + gy * yij + gz * zij
+        return jnp.concatenate(
+            [lsum(sr(_FU) * w), lsum(sr(_FV) * w), lsum(sr(_FW) * w),
+             lsum(w), lsum((sr(_FP) + sr(_FRHO) * gdotx) * w)], axis=1)
+
+    out = cell_pair_pallas(df, dfT, grid.n_occupied, grid.nbr_slots, cfg,
+                           compute, 5, interpret=interpret)
+    n = scene.n
+    out = unpack(grid, cfg, out, n, 0.0).astype(scene.x.dtype)
+    return out[:, 0], out[:, 1], out[:, 2], out[:, 3], out[:, 4]
+
+
+def fluid_forces_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
+                        kernel: Kernel, df, dfT, fluid_alpha: float,
+                        c0: float, has_rigid: bool,
+                        interpret: bool = False):
+    """Pass F: fluid au/av/aw (pressure gradient + artificial viscosity
+    + rigid->fluid) and the fluid->rigid force
+    (``fluid_cell.fluid_forces_cell``; reference :489-554).
+
+    NOTE: ``df``/``dfT`` must be packed AFTER the wall-BC pressure
+    update (p, p_fsi current) — the XLA engine patches stale columns
+    instead; repacking is the fused equivalent."""
+    cutoff = cfg.radius
+
+    def compute(q, sL):
+        qc, sr, xij, yij, zij, rij, r2, hij = _pair_geom(q, sL, kernel)
+        in_range = rij <= cutoff
+        dest_fluid = qc(_FFLUID) == 1.0
+        dest_rigid = qc(_FRIGID) == 1.0
+        src_fluid = sr(_FFLUID) == 1.0
+        src_flbd = src_fluid | (sr(_FBDRY) == 1.0)
+        src_rigid = sr(_FRIGID) == 1.0
+
+        dw = kernel.gradw_scalar(rij, hij)
+        dwx, dwy, dwz = dw * xij, dw * yij, dw * zij
+        rhoi, rhoj = qc(_FRHO), sr(_FRHO)
+        pi, pj = qc(_FP), sr(_FP)
+        mj = sr(_FM)
+
+        def lsum(v):
+            return jnp.sum(v, axis=1, keepdims=True)
+
+        g_pg = dest_fluid & src_flbd & in_range
+        pij = pi / (rhoi * rhoi) + pj / (rhoj * rhoj)
+        t = jnp.where(g_pg, -mj * pij, 0.0)
+        au, av, aw = lsum(t * dwx), lsum(t * dwy), lsum(t * dwz)
+
+        if abs(fluid_alpha) > 1e-14:
+            uij = qc(_FU) - sr(_FU)
+            vij = qc(_FV) - sr(_FV)
+            wij_v = qc(_FW) - sr(_FW)
+            vdotx = uij * xij + vij * yij + wij_v * zij
+            eps = 0.01 * hij * hij
+            muij = hij * vdotx / (r2 + eps)
+            piij = jnp.where(
+                (vdotx < 0.0) & dest_fluid & src_fluid & in_range,
+                -fluid_alpha * c0 * muij * mj * (2.0 / (rhoi + rhoj)), 0.0)
+            au = au + lsum(-piij * dwx)
+            av = av + lsum(-piij * dwy)
+            aw = aw + lsum(-piij * dwz)
+
+        if has_rigid:
+            g_rf = dest_fluid & src_rigid & in_range
+            rhofsi_j = sr(_FRHOFSI)
+            pij2 = pi / (rhoi * rhoi) + sr(_FPFSI) / (rhofsi_j * rhofsi_j)
+            t2 = jnp.where(g_rf, -sr(_FMFSI) * pij2, 0.0)
+            au = au + lsum(t2 * dwx)
+            av = av + lsum(t2 * dwy)
+            aw = aw + lsum(t2 * dwz)
+
+            g_fr = dest_rigid & src_fluid & in_range
+            mfsi_i, rhofsi_i = qc(_FMFSI), qc(_FRHOFSI)
+            t1 = pj / (rhoj * rhoj) + qc(_FPFSI) / jnp.maximum(
+                rhofsi_i * rhofsi_i, 1e-30)
+            fac = jnp.where(g_fr, -mfsi_i * mj * t1, 0.0)
+            fx, fy, fz = lsum(fac * dwx), lsum(fac * dwy), lsum(fac * dwz)
+        else:
+            fx = jnp.zeros_like(au)
+            fy, fz = fx, fx
+        return jnp.concatenate([au, av, aw, fx, fy, fz], axis=1)
+
+    out = cell_pair_pallas(df, dfT, grid.n_occupied, grid.nbr_slots, cfg,
+                           compute, 6, interpret=interpret)
+    n = scene.n
+    out = unpack(grid, cfg, out, n, 0.0).astype(scene.x.dtype)
+    return tuple(out[:, i] for i in range(6))

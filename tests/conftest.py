@@ -22,3 +22,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compile cache: the suite is compile-dominated (the coupling
+# tests alone spent ~9 min of XLA CPU compiles per run in round 2).
+_cache = os.environ.get("RB_TEST_CACHE",
+                        os.path.join(os.path.dirname(__file__), "..",
+                                     ".jax_test_cache"))
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# don't persist XLA:CPU AOT blobs — reloading them spams a target-feature
+# mismatch error line per executable on this machine
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")

@@ -2,6 +2,7 @@
 contact pipeline results and identical integrator steps."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -162,6 +163,7 @@ def test_cell_step_matches_nklist_step():
                                np.asarray(sc_n.force), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_verlet_skin_matches_no_skin():
     """skin > 0 (grid reused across steps, rebuilt past the skin/2
     displacement bound) must reproduce the every-step-rebuild
@@ -323,3 +325,88 @@ def test_cell_engine_3d_matches_nklist():
         np.testing.assert_allclose(np.asarray(dinfo_c[k]),
                                    np.asarray(dinfo[k]), atol=1e-11,
                                    err_msg=k)
+
+
+def test_rk2_and_leapfrog_cell_match_nklist():
+    """RK2 (2D) + leapfrog (3D free body) on the cell engine must match
+    the nklist engine — integrator="rk2" no longer silently drops to the
+    [N,K] path (round-2 VERDICT item 2)."""
+    dx = 0.04
+    xb, yb = get_2d_block(dx, 0.2, 0.2)
+    x = np.concatenate([xb, xb + 0.25])
+    y = np.concatenate([yb, yb]) + 0.1
+    bid = np.concatenate([np.zeros(len(xb), np.int32),
+                          np.ones(len(xb), np.int32)])
+    xw = np.arange(-8, 20) * dx
+    yw = np.full(len(xw), -0.05)
+    m = 2000 * dx * dx
+    body = make_group("body", x, y, m=m, h=1.3 * dx, rho=2000.0,
+                      rad_s=dx / 2, role=ROLE_RIGID, body_id=bid,
+                      dem_id=bid)
+    wall = make_group("wall", xw, yw, m=m, h=1.3 * dx, rho=2000.0,
+                      rad_s=dx / 2, role=ROLE_BOUNDARY, dem_id=2)
+
+    def build(engine):
+        scene = build_scene([body, wall], dim=2, total_no_bodies=3,
+                            spacing0=dx)
+        scheme = RigidBody2DScheme(rigid_bodies=["body"],
+                                   boundaries=["wall"], gy=-9.81, dim=2)
+        scheme.engine = engine
+        scheme.integrator = "rk2"
+        scene = scheme.setup(scene)
+        return scheme, scene
+
+    sch_c, sc_c = build("cell")
+    sch_n, sc_n = build("nklist")
+    step_c = sch_c.make_step(sc_c)
+    step_n = sch_n.make_step(sc_n)
+    dt = jnp.asarray(1e-4)
+    for _ in range(20):
+        sc_c = step_c(sc_c, dt)
+        sc_n = step_n(sc_n, dt)
+    assert not bool(np.asarray(sc_c.nbr_overflow))
+    for k in ("x", "y", "u", "v", "fx", "fy"):
+        np.testing.assert_allclose(np.asarray(sc_c[k]), np.asarray(sc_n[k]),
+                                   atol=1e-9, err_msg="rk2 " + k)
+
+    # leapfrog: 3D free tumbling body (no contacts needed to exercise
+    # the engine routing)
+    from rigid_body_2d_3d_pysph_tpu.models.rigid_body import (
+        RigidBody3DScheme,
+    )
+    from rigid_body_2d_3d_pysph_tpu.geom import get_3d_block
+
+    x3, y3, z3 = get_3d_block(dx, 0.2, 0.12, 0.16)
+
+    def build3(engine):
+        grp = make_group("body", x3, y3, z3, m=m, h=1.3 * dx, rho=2000.0,
+                         rad_s=dx / 2, role=ROLE_RIGID,
+                         body_id=np.zeros(len(x3), np.int32),
+                         dem_id=np.zeros(len(x3), np.int32))
+        scene = build_scene([grp], dim=3, total_no_bodies=1, spacing0=dx)
+        scheme = RigidBody3DScheme(rigid_bodies=["body"], boundaries=[],
+                                   dim=3)
+        scheme.engine = engine
+        scheme.integrator = "leapfrog"
+        if engine == "cell":
+            # small cell chunks: the 27-cell 3D stencil at quintic
+            # occupancy (~60/cell, M=96) makes [C, M, O*M] f64
+            # intermediates ~1 GB at the default 512-cell chunk on CPU
+            scheme._cell_cfg = cellmod.config_from_positions(
+                x3, y3, z3, 3 * 1.3 * dx, 3, cell_chunk=4)
+        scene = scheme.setup(scene)
+        scene = scheme.set_linear_velocity(scene, [1.0, 0.5, 0.25])
+        scene = scheme.set_angular_velocity(scene, [0.5, 1.5, 0.25])
+        return scheme, scene
+
+    sch3c, sc3c = build3("cell")
+    sch3n, sc3n = build3("nklist")
+    st3c = sch3c.make_step(sc3c)
+    st3n = sch3n.make_step(sc3n)
+    for _ in range(5):
+        sc3c = st3c(sc3c, dt)
+        sc3n = st3n(sc3n, dt)
+    for k in ("x", "y", "z", "u", "v", "w"):
+        np.testing.assert_allclose(np.asarray(sc3c[k]),
+                                   np.asarray(sc3n[k]), atol=1e-9,
+                                   err_msg="leapfrog " + k)

@@ -75,6 +75,7 @@ def _tank_scene(with_body=False):
     return scheme, scene, dx, gy, rho0
 
 
+@pytest.mark.slow
 def test_hydrostatic_tank_stays_at_rest():
     scheme, scene, dx, gy, rho0 = _tank_scene()
     step = scheme.make_step(scene)
@@ -100,6 +101,7 @@ def test_hydrostatic_tank_stays_at_rest():
     assert p[deep].mean() > p[shallow].mean()
 
 
+@pytest.mark.slow
 def test_heavy_body_sinks():
     scheme, scene, dx, gy, rho0 = _tank_scene(with_body=True)
     step = scheme.make_step(scene)
@@ -164,6 +166,7 @@ def test_cell_and_nklist_kdk_agree():
                                    atol=1e-8, rtol=1e-8, err_msg=k)
 
 
+@pytest.mark.slow
 def test_ordering_energy_regression():
     """Hydrostatic-tank KE regression for both GTVF orderings at the
     reference's own CFL dt.  Round-2 measurement: the orderings track

@@ -64,6 +64,7 @@ def slab_setup():
     return scheme, scene, mesh, cfg, dec, step
 
 
+@pytest.mark.slow
 def test_slab_step_matches_single_device(slab_setup):
     scheme, scene, mesh, cfg, dec, step = slab_setup
     ref_step = scheme.make_step(scene)
