@@ -105,7 +105,9 @@ def build_dem_scene():
     scheme = DEMScheme(granular_particles=["sand"], boundaries=["floor"],
                        kn=1e5, en=0.5, mu=0.5, dim=2, gy=-9.81,
                        max_tng_contacts_limit=8)
-    scheme.engine = os.environ.get("BENCH_ENGINE", "cell")
+    default_engine = ("pallas" if os.environ.get("RB_TPU_PLATFORM") != "cpu"
+                      else "cell")
+    scheme.engine = os.environ.get("BENCH_ENGINE", default_engine)
     scene = scheme.setup(scene)
     return scheme, scene
 
@@ -119,10 +121,10 @@ def measure(n_steps: int) -> dict:
     if workload == "dem":
         scheme, scene = build_dem_scene()
         dt = jnp.asarray(5e-6)
-        # scan chunks > 25 of the 100k-grain DEM program hit a TPU
-        # device fault on this axon setup (scan(25) is fine) — see
-        # ROADMAP.md known issues
-        chunk = min(n_steps, 25)
+        # (the round-2 scan>25 device fault was specific to the old XLA
+        # table program; the Pallas DEM kernel scans clean — verified
+        # through scan(50) at 100k grains)
+        chunk = min(n_steps, 50)
     else:
         scheme, scene = build_scene()
         dt = jnp.asarray(1e-4)

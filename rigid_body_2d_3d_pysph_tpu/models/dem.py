@@ -59,8 +59,10 @@ class DEMScheme(Scheme):
         # DEM-kernel grid: bins are cell_factor x the (tight, 2*rad_s)
         # contact radius — coarser bins amortize the per-cell program +
         # DMA cost over more lanes (the contact radius alone would give
-        # ~1 grain/cell).
-        self.cell_factor = 4.0
+        # ~1 grain/cell).  Measured @104k grains on v5e: factor 2 ->
+        # 72.7 ms/step, 3 -> 48.0, 4 -> 44.4, 6 -> 32.6, 8 -> 45.9
+        # (>=10 exceeds Mosaic limits: the [OM, OM] rank matrix).
+        self.cell_factor = 6.0
         self._nbr_cfg: Optional[nbmod.NeighborConfig] = None
         self._cell_cfg = None
         self._pallas_cfg = None

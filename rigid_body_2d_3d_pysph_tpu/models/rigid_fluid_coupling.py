@@ -93,6 +93,14 @@ class RigidFluidCouplingScheme(Scheme):
         # better-justified staging, with both orderings available on
         # both engines and cross-engine equality tested.
         self.gtvf_ordering = "kdk"
+        # "gtvf" (the reference's wired stepper) or "rk2": the
+        # reference defines RK2FluidStep (rigid_fluid_coupling.py:228-271)
+        # but its scheme hard-codes GTVF (:815) so RK2 is dead code
+        # there; here it is a live predictor-corrector coupling step
+        # (fluid RK2FluidStep semantics + RK2RigidBody3DStep body stage)
+        # on the cell engine, Tait EOS only (the reference step carries
+        # no p0/ap state, i.e. it predates EDAC).
+        self.fluid_stepper = "gtvf"
         self.dt = None
         self.tf = None
         self.pfreq = 100
@@ -137,7 +145,10 @@ class RigidFluidCouplingScheme(Scheme):
         add = {}
         for k in ("rho_fsi", "m_fsi", "p_fsi", "wij_adami",
                   "uf", "vf", "wf", "ug", "vg", "wg",
-                  "arho", "ap", "au", "av", "aw", "vol", "cs"):
+                  "arho", "ap", "au", "av", "aw", "vol", "cs",
+                  # RK2FluidStep saved state (reference x0/.../rho0
+                  # particle props, :229-240)
+                  "x0", "y0", "z0", "u0", "v0", "w0", "rho0_rk"):
             if k not in scene:
                 add[k] = jnp.zeros(n, fdt)
         scene = scene.with_fields(**add)
@@ -191,9 +202,145 @@ class RigidFluidCouplingScheme(Scheme):
         return _RigidBodySchemeBase._cell_pipeline(self)
 
     def make_step(self, scene: Scene):
+        if getattr(self, "fluid_stepper", "gtvf") == "rk2":
+            if self.engine not in ("cell", "pallas"):
+                raise NotImplementedError("rk2 fluid stepper: cell engine")
+            if self.edac:
+                raise NotImplementedError(
+                    "rk2 fluid stepper integrates rho only (reference "
+                    "RK2FluidStep :228-271 has no p0/ap state) — use "
+                    "Tait EOS (edac=False)")
+            return self._make_step_cell_rk2(scene)
         if self.engine in ("cell", "pallas"):
             return self._make_step_cell(scene)
         return self._make_step_nklist(scene)
+
+    def _make_step_cell_rk2(self, scene: Scene):
+        """Predictor-corrector coupling step: RK2FluidStep fluid
+        semantics (x from saved with CURRENT u, then u from saved with
+        current au, rho from saved with current arho — reference
+        :244-271) + the RK2 rigid body stage, two full evaluations per
+        step on the cell engine."""
+        from .rigid_body import _rk2_body_stage
+        kernel = get_kernel(self.kernel_name, self.dim)
+        ccfg = self.cell_config(scene, kernel)
+        params = dict(kr=self.kr, kf=self.kf, fric_coeff=self.fric_coeff,
+                      gx=self.gx, gy=self.gy, gz=self.gz)
+        gx, gy, gz = self.gx, self.gy, self.gz
+        nu_edac = self.edac_nu
+        c0, rho0, gamma = self.c0, self.rho0, self.gamma
+        fluid_alpha = self.fluid_alpha
+        has_fluid = len(self.fluids) > 0
+        has_rigid = len(self.rigid_bodies) > 0
+        pipeline = self._cell_pipeline()
+
+        def evaluate(scene, dt, fl, bd, rb, solid):
+            """Rates + wall BC + momentum + contact at the current
+            state -> (scene with arho/au/force/torque, overflow)."""
+            grid = cellmod.build_cell_grid(scene.x, scene.y, scene.z,
+                                           scene.active, ccfg)
+            ovf = grid.overflow
+            ffx = ffy = ffz = None
+            if has_fluid:
+                p, cs = fops.tait_eos(scene, rho0, c0, gamma, fl)
+                scene = scene.replace(p=p, cs=cs)
+                df, di = fcops.pack_fluid_scene(scene, grid, ccfg)
+                arho, _ = fcops.fluid_rates_cell(
+                    scene, grid, ccfg, kernel, df, di, nu_edac, c0,
+                    False, has_rigid)
+                scene = scene.replace(arho=jnp.where(fl, arho, 0.0))
+                uf, vf, wf, sw, p_num = fcops.wall_bc_cell(
+                    scene, grid, ccfg, kernel, df, di, gx, gy, gz)
+                has = sw > 1e-14
+                p_bc = jnp.where(has, p_num / jnp.where(has, sw, 1.0),
+                                 p_num)
+                inv = jnp.where(has, 1.0 / jnp.maximum(sw, 1e-300), 0.0)
+                ufn, vfn, wfn = uf * inv, vf * inv, wf * inv
+                scene = scene.replace(
+                    p=jnp.where(bd, jnp.maximum(p_bc, 0.0), scene.p),
+                    p_fsi=jnp.where(rb, p_bc, scene.p_fsi),
+                    uf=jnp.where(solid, ufn, scene.uf),
+                    vf=jnp.where(solid, vfn, scene.vf),
+                    wf=jnp.where(solid, wfn, scene.wf),
+                    ug=jnp.where(solid, 2.0 * scene.u - ufn, scene.ug),
+                    vg=jnp.where(solid, 2.0 * scene.v - vfn, scene.vg),
+                    wg=jnp.where(solid, 2.0 * scene.w - wfn, scene.wg),
+                    wij_adami=jnp.where(solid, sw, scene.wij_adami),
+                )
+                p_dense = pack_fields(grid, ccfg, [scene.p], [0.0])[..., 0]
+                pfsi_dense = pack_fields(grid, ccfg, [scene.p_fsi],
+                                         [0.0])[..., 0]
+                aux, auy, auz, fxv, fyv, fzv = fcops.fluid_forces_cell(
+                    scene, grid, ccfg, kernel, df, di, p_dense,
+                    pfsi_dense, fluid_alpha, c0, has_rigid)
+                scene = scene.replace(
+                    au=jnp.where(fl, gx + aux, 0.0),
+                    av=jnp.where(fl, gy + auy, 0.0),
+                    aw=jnp.where(fl, gz + auz, 0.0),
+                )
+                ffx = jnp.where(rb, fxv, 0.0)
+                ffy = jnp.where(rb, fyv, 0.0)
+                ffz = jnp.where(rb, fzv, 0.0)
+            if has_rigid:
+                extra = (ffx, ffy, ffz) if has_fluid else None
+                scene = rigid_contact_force_eval_cell(
+                    scene, grid, ccfg, kernel, params, dt,
+                    extra_fx=extra, pipeline=pipeline)
+            return scene, ovf
+
+        def stage(scene, frac_dt, fl):
+            """RK2FluidStep stage: positions from saved with the
+            CURRENT velocity, then velocity/density from saved with
+            the current derivatives (reference :244-255)."""
+            if has_fluid:
+                rho_new = scene.rho0_rk + frac_dt * scene.arho
+                scene = scene.replace(
+                    x=jnp.where(fl, scene.x0 + frac_dt * scene.u,
+                                scene.x),
+                    y=jnp.where(fl, scene.y0 + frac_dt * scene.v,
+                                scene.y),
+                    z=jnp.where(fl, scene.z0 + frac_dt * scene.w,
+                                scene.z),
+                    u=jnp.where(fl, scene.u0 + frac_dt * scene.au,
+                                scene.u),
+                    v=jnp.where(fl, scene.v0 + frac_dt * scene.av,
+                                scene.v),
+                    w=jnp.where(fl, scene.w0 + frac_dt * scene.aw,
+                                scene.w),
+                    rho=jnp.where(fl, rho_new, scene.rho),
+                    vol=jnp.where(fl, scene.m / rho_new, scene.vol),
+                )
+            if has_rigid:
+                scene = _rk2_body_stage(scene, frac_dt, two_d=False)
+                scene = _particles_from_body_position(scene)
+                scene = _particles_from_body_velocity(scene)
+            return scene
+
+        @jax.jit
+        def step(scene: Scene, dt):
+            fl = scene.is_fluid & scene.active
+            bd = scene.is_static_boundary & scene.active
+            rb = scene.is_rigid & scene.active
+            solid = bd | rb
+            # initialize: save t=0 state (reference :229-240)
+            save = {}
+            if has_fluid:
+                save.update(x0=scene.x, y0=scene.y, z0=scene.z,
+                            u0=scene.u, v0=scene.v, w0=scene.w,
+                            rho0_rk=scene.rho)
+            if has_rigid:
+                save.update(xcm0=scene.xcm, vcm0=scene.vcm,
+                            ang_mom0=scene.ang_mom, omega0=scene.omega,
+                            R0=scene.R)
+            scene = scene.replace(**save)
+            scene, ovf1 = evaluate(scene, dt, fl, bd, rb, solid)
+            scene = stage(scene, 0.5 * dt, fl)
+            scene, ovf2 = evaluate(scene, dt, fl, bd, rb, solid)
+            scene = stage(scene, dt, fl)
+            return scene.replace(
+                nbr_overflow=scene.nbr_overflow | ovf1 | ovf2)
+
+        return step
 
     def _make_step_cell(self, scene: Scene):
         """Coupling step on the dense cell engine: three fluid passes +

@@ -38,11 +38,22 @@ from .neighbors import NeighborList
 from .pairs import pair_data
 
 
-def prune_contact_table(scene, tng_idx, tng_dem, tng_a, tng_b, tng_c):
+def prune_contact_table(scene, tng_idx, tng_dem, tng_a, tng_b, tng_c,
+                        row_of_gid=None):
     """Free slots whose pair no longer overlaps (reference
-    ``initialize_pair`` :209-293).  Returns updated table + counts."""
+    ``initialize_pair`` :209-293).  Returns updated table + counts.
+
+    ``row_of_gid``: optional [G+1] gid -> local-row translation for the
+    slab-sharded path, whose tables key on persistent global ids; a gid
+    not present locally maps to row n (=> slot freed — an overlapping
+    partner is always within the halo, so absence means separation)."""
     live = tng_idx >= 0
-    j = jnp.clip(tng_idx, 0, scene.n - 1)
+    if row_of_gid is None:
+        j = jnp.clip(tng_idx, 0, scene.n - 1)
+    else:
+        row = row_of_gid[jnp.clip(tng_idx, 0, row_of_gid.shape[0] - 1)]
+        live = live & (row < scene.n)
+        j = jnp.clip(row, 0, scene.n - 1)
     dx = scene.x[:, None] - scene.x[j]
     dy = scene.y[:, None] - scene.y[j]
     dz = scene.z[:, None] - scene.z[j]

@@ -47,10 +47,12 @@ def lvc_displacement_cell(scene, grid: CellGrid, cfg: CellGridConfig, dt,
         [scene.x, scene.y, scene.z, scene.u, scene.v, scene.w,
          scene.wx, scene.wy, scene.wz, scene.rad_s, scene.m],
         _F_SENT)
-    di = pack_fields(
-        grid, cfg,
-        [scene.dem_id, jnp.arange(n, dtype=jnp.int32)],
-        _I_SENT)
+    # particle identity: persistent global ids when present (the slab
+    # path's contact tables must survive ghost-row renumbering and
+    # redistribution), else the row index
+    ident = (scene.gid.astype(jnp.int32) if "gid" in scene
+             else jnp.arange(n, dtype=jnp.int32))
+    di = pack_fields(grid, cfg, [scene.dem_id, ident], _I_SENT)
     # query-side tables in dense order
     t_idx_d = pack_rows(grid, cfg, tng_idx, -1).astype(jnp.int32)
     t_dem_d = pack_rows(grid, cfg, tng_dem, -1).astype(jnp.int32)

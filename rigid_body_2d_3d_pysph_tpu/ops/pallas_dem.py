@@ -332,12 +332,13 @@ def lvc_displacement_cell_pallas(scene, grid: CellGrid,
             "pallas DEM kernel requires cutoff >= 2*max(rad_s) so the "
             "fused prune sees every still-overlapping pair")
 
+    ident = (scene.gid if "gid" in scene
+             else jnp.arange(n, dtype=jnp.int32))
     df = pack_fields(
         grid, cfg,
         [scene.x, scene.y, scene.z, scene.u, scene.v, scene.w,
          scene.wx, scene.wy, scene.wz, scene.rad_s, scene.m,
-         scene.dem_id.astype(fdt),
-         jnp.arange(n, dtype=jnp.int32).astype(fdt)],
+         scene.dem_id.astype(fdt), ident.astype(fdt)],
         _SENT).astype(jnp.float32)
     tabs = [pack_rows(grid, cfg, tng_idx.astype(fdt), -1.0),
             pack_rows(grid, cfg, tng_dem.astype(fdt), -1.0),

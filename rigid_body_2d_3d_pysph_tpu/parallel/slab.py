@@ -149,8 +149,11 @@ def slab_decompose(scene: Scene, cfg: SlabConfig) -> Scene:
                     pad_shape = (pad_rows[d],) + arr.shape[1:]
                     if k in ("x", "y", "z"):
                         pad = np.full(pad_shape, _BIG, arr.dtype)
-                    elif k in ("m", "rho", "h"):
+                    elif k in ("m", "rho", "h", "moi"):
                         pad = np.ones(pad_shape, arr.dtype)
+                    elif k in ("gid", "tng_idx", "tng_idx_dem_id",
+                               "dem_id"):
+                        pad = np.full(pad_shape, -1, arr.dtype)
                     else:
                         pad = np.zeros(pad_shape, arr.dtype)
                     part = np.concatenate([part, pad])
@@ -320,6 +323,527 @@ def make_slab_step(scheme, scene: Scene, mesh: Mesh, cfg: SlabConfig):
         scene_l = rb._particles_from_body_position(scene_l)
         scene_l = rb._body_half_kick(scene_l, dt, two_d)
         scene_l = rb._particles_from_body_velocity(scene_l)
+        return scene_l
+
+    step = jax.jit(jax.shard_map(
+        local_step, mesh=mesh, in_specs=(scene_spec, P()),
+        out_specs=scene_spec, check_vma=False))
+    return step
+
+
+def attach_gids(scene: Scene) -> Scene:
+    """Persistent global particle ids (int32 row index at attach time).
+    The slab DEM/coupling paths key contact tables on gids so table
+    state survives ghost-row renumbering and redistribution; attach
+    BEFORE :func:`slab_decompose`."""
+    return scene.with_fields(gid=jnp.arange(scene.n, dtype=jnp.int32))
+
+
+def _scene_spec(scene: Scene):
+    specs = {}
+    nrows = scene.n
+    for k, v in scene.fields.items():
+        if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == nrows:
+            specs[k] = P("p", *([None] * (v.ndim - 1)))
+        else:
+            specs[k] = P()
+    return Scene({k: specs[k] for k in sorted(specs)}, scene.meta)
+
+
+# ghost columns for the DEM pair pass (all ride one f32 buffer)
+DEM_GHOST_FIELDS = ("x", "y", "z", "u", "v", "w", "wx", "wy", "wz",
+                    "rad_s", "m")
+
+
+def make_slab_dem_step(scheme, scene: Scene, mesh: Mesh, cfg: SlabConfig,
+                       n_global: int):
+    """Sharded DEM step: halo exchange of grain state + gid-keyed
+    contact tables evaluated locally (tables travel with their OWNING
+    row; ghosts are extra source rows, so no table rows ever migrate
+    mid-chunk — redistribution between chunks carries them as ordinary
+    fields).  No global reduction exists in DEM (pair forces are
+    query-side sums), so the only collectives are the two ring
+    ppermutes.
+
+    ``scene`` must carry ``gid`` (:func:`attach_gids`), be decomposed
+    and sharded.  ``n_global`` is the total (pre-decomposition)
+    particle count — the gid translation-table size."""
+    from ..ops import dem as dops
+    from ..ops import dem_cell as dcops
+
+    use_pallas = scheme._use_pallas()
+    base = cfg.base
+    local_chunk = min(base.cell_chunk, -(-cfg.nc_max_local // 8) * 8)
+    local_cfg = cellmod.CellGridConfig(
+        cell=base.cell, M=base.M, NC_max=cfg.nc_max_local,
+        origin=base.origin, dims=base.dims, dim=base.dim,
+        cell_chunk=local_chunk, cutoff=base.cutoff, sub=base.sub)
+    H = cfg.halo_cap
+    D = cfg.n_dev
+    fdt = config.float_dtype()
+    gx_, gy_, gz_ = scheme.gx, scheme.gy, scheme.gz
+    scene_spec = _scene_spec(scene)
+    NGF = len(DEM_GHOST_FIELDS)
+
+    def local_step(scene_l: Scene, dt):
+        d = jax.lax.axis_index("p")
+        lo = cfg.slab_lo(d)
+        hi = cfg.slab_lo(d + 1)
+        w = cfg.halo_width
+
+        # stage 1: half-kick with stored forces (granular rows only)
+        mob = scene_l.is_rigid
+        half = 0.5 * dt
+        m_inv = 1.0 / scene_l.m
+        I_inv = 1.0 / scene_l.moi
+        sel = lambda new, old: jnp.where(mob, new, old)
+        scene_l = scene_l.replace(
+            u=sel(scene_l.u + half * scene_l.fx * m_inv, scene_l.u),
+            v=sel(scene_l.v + half * scene_l.fy * m_inv, scene_l.v),
+            w=sel(scene_l.w + half * scene_l.fz * m_inv, scene_l.w),
+            wx=sel(scene_l.wx + half * scene_l.torx * I_inv, scene_l.wx),
+            wy=sel(scene_l.wy + half * scene_l.tory * I_inv, scene_l.wy),
+            wz=sel(scene_l.wz + half * scene_l.torz * I_inv, scene_l.wz),
+        )
+
+        # ---- halo exchange ----------------------------------------------
+        act = scene_l.active
+        gf = [scene_l[k] for k in DEM_GHOST_FIELDS] + [
+            scene_l.dem_id.astype(fdt), scene_l.gid.astype(fdt)]
+        right_buf, ovr = _compact_rows(act & (scene_l.x >= hi - w), gf, H)
+        left_buf, ovl = _compact_rows(act & (scene_l.x < lo + w), gf, H)
+        from_left = jax.lax.ppermute(
+            right_buf, "p", [(i, i + 1) for i in range(D - 1)])
+        from_right = jax.lax.ppermute(
+            left_buf, "p", [(i + 1, i) for i in range(D - 1)])
+        ghosts = jnp.concatenate([from_left, from_right], axis=0)
+        # validity flag rides LAST column (after the int extras)
+        gvalid = ghosts[:, NGF + 2] > 0.5
+
+        nl = scene_l.n
+        ext = {}
+        gcol = {k: ghosts[:, i] for i, k in enumerate(DEM_GHOST_FIELDS)}
+        gdem = ghosts[:, NGF].astype(jnp.int32)
+        ggid = ghosts[:, NGF + 1].astype(jnp.int32)
+        for k, v in scene_l.fields.items():
+            if not (hasattr(v, "ndim") and v.ndim >= 1
+                    and v.shape[0] == nl):
+                ext[k] = v
+                continue
+            if k in gcol:
+                tail = gcol[k].astype(v.dtype)
+                if k in ("x", "y", "z"):
+                    tail = jnp.where(gvalid, tail, _BIG)
+            elif k == "dem_id":
+                tail = jnp.where(gvalid, gdem, -1)
+            elif k == "gid":
+                tail = jnp.where(gvalid, ggid, -1)
+            elif k == "active":
+                tail = gvalid
+            elif k in ("tng_idx", "tng_idx_dem_id"):
+                tail = jnp.full((2 * H,) + v.shape[1:], -1, v.dtype)
+            elif k == "moi":
+                tail = jnp.ones((2 * H,) + v.shape[1:], v.dtype)
+            else:
+                # incl. is_rigid=0: ghost force/table outputs are dropped
+                tail = jnp.zeros((2 * H,) + v.shape[1:], v.dtype)
+            ext[k] = jnp.concatenate([v, tail], axis=0)
+        scene_e = Scene(ext, scene_l.meta)
+
+        # ---- contact evaluation on the extended scene -------------------
+        grid = cellmod.build_cell_grid(scene_e.x, scene_e.y, scene_e.z,
+                                       scene_e.active, local_cfg)
+        if use_pallas:
+            from ..ops import pallas_dem as pdops
+            # prune is fused into the kernel's gid matching
+            (cfx, cfy, cfz, tx_, ty_, tz_, ti, td, ta, tb, tc,
+             cnt) = pdops.lvc_displacement_cell_pallas(
+                 scene_e, grid, local_cfg, dt,
+                 scene_e.tng_idx, scene_e.tng_idx_dem_id,
+                 scene_e.tng_x, scene_e.tng_y, scene_e.tng_z)
+        else:
+            # gid -> extended-row translation for the prune
+            ne = scene_e.n
+            row_of_gid = jnp.full(n_global + 1, ne, jnp.int32).at[
+                jnp.where(scene_e.active & (scene_e.gid >= 0),
+                          scene_e.gid, n_global)
+            ].set(jnp.arange(ne, dtype=jnp.int32), mode="drop")
+            tabs = dops.prune_contact_table(
+                scene_e, scene_e.tng_idx, scene_e.tng_idx_dem_id,
+                scene_e.tng_x, scene_e.tng_y, scene_e.tng_z,
+                row_of_gid=row_of_gid)[:5]
+            (cfx, cfy, cfz, tx_, ty_, tz_, ti, td, ta, tb, tc,
+             cnt) = dcops.lvc_displacement_cell(
+                 scene_e, grid, local_cfg, dt, *tabs)
+
+        gmask = scene_e.is_rigid & scene_e.active
+        scene_e = scene_e.replace(
+            fx=jnp.where(gmask, scene_e.m * gx_ + cfx, 0.0),
+            fy=jnp.where(gmask, scene_e.m * gy_ + cfy, 0.0),
+            fz=jnp.where(gmask, scene_e.m * gz_ + cfz, 0.0),
+            torx=jnp.where(gmask, tx_, 0.0),
+            tory=jnp.where(gmask, ty_, 0.0),
+            torz=jnp.where(gmask, tz_, 0.0),
+            tng_idx=ti, tng_idx_dem_id=td,
+            tng_x=ta, tng_y=tb, tng_z=tc, total_tng_contacts=cnt,
+        )
+
+        # drop ghosts, fold overflow
+        upd = {k: (v[:nl] if hasattr(v, "ndim") and v.ndim >= 1
+                   and v.shape[0] == nl + 2 * H else v)
+               for k, v in scene_e.fields.items()}
+        scene_l = Scene(upd, scene_l.meta)
+        scene_l = scene_l.replace(
+            nbr_overflow=(scene_l.nbr_overflow | grid.overflow
+                          | ovr | ovl))
+
+        # stage 2 drift + stage 3 half-kick
+        sel = lambda new, old: jnp.where(mob, new, old)
+        scene_l = scene_l.replace(
+            x=sel(scene_l.x + dt * scene_l.u, scene_l.x),
+            y=sel(scene_l.y + dt * scene_l.v, scene_l.y),
+            z=sel(scene_l.z + dt * scene_l.w, scene_l.z),
+        )
+        m_inv = 1.0 / scene_l.m
+        I_inv = 1.0 / scene_l.moi
+        scene_l = scene_l.replace(
+            u=sel(scene_l.u + half * scene_l.fx * m_inv, scene_l.u),
+            v=sel(scene_l.v + half * scene_l.fy * m_inv, scene_l.v),
+            w=sel(scene_l.w + half * scene_l.fz * m_inv, scene_l.w),
+            wx=sel(scene_l.wx + half * scene_l.torx * I_inv, scene_l.wx),
+            wy=sel(scene_l.wy + half * scene_l.tory * I_inv, scene_l.wy),
+            wz=sel(scene_l.wz + half * scene_l.torz * I_inv, scene_l.wz),
+        )
+        return scene_l
+
+    step = jax.jit(jax.shard_map(
+        local_step, mesh=mesh, in_specs=(scene_spec, P()),
+        out_specs=scene_spec, check_vma=False))
+    return step
+
+
+# ghost columns for the coupling pair passes (fluid + wall-BC + FSI +
+# rigid contact all read from this one buffer)
+CPL_GHOST_FIELDS = ("x", "y", "z", "u", "v", "w", "h", "m", "rho", "p",
+                    "m_fsi", "rho_fsi", "p_fsi",
+                    "contact_force_is_boundary")
+
+
+def make_slab_coupling_step(scheme, scene: Scene, mesh: Mesh,
+                            cfg: SlabConfig):
+    """Sharded rigid-fluid coupling step (KDK ordering, the scheme
+    default): TWO halo exchanges per step (rates at x_n after the kick;
+    wall-BC + forces at x_{n+1} after the drift) plus a column resend of
+    the post-wall-BC pressures for solid ghosts, all ring ppermutes;
+    per-body force/torque reductions ride one psum.  Rigid contact-slot
+    state ([N, S], keyed by source ENTITY) and fluid fields own their
+    rows, so nothing migrates mid-chunk.
+
+    Built against the XLA cell engine or the Pallas pipelines exactly as
+    the single-device ``_make_step_cell`` (same selector)."""
+    from ..models import rigid_body as rb
+    from ..ops import fluid as fops
+    from ..ops import fluid_cell as fcops
+    from ..ops import pallas_contact as pcops
+    from ..ops.cellpairs import pack_fields
+    from ..ops.kernels import get_kernel
+
+    kernel = get_kernel(scheme.kernel_name, scheme.dim)
+    params = dict(kr=scheme.kr, kf=scheme.kf,
+                  fric_coeff=scheme.fric_coeff,
+                  gx=scheme.gx, gy=scheme.gy, gz=scheme.gz)
+    gx_, gy_, gz_ = scheme.gx, scheme.gy, scheme.gz
+    edac = scheme.edac
+    nu_edac = scheme.edac_nu
+    c0, rho0, gamma = scheme.c0, scheme.rho0, scheme.gamma
+    fluid_alpha = scheme.fluid_alpha
+    has_fluid = len(scheme.fluids) > 0
+    has_rigid = len(scheme.rigid_bodies) > 0
+    pipeline = scheme._cell_pipeline()
+    use_fluid_pallas = pipeline is pcops.contact_pipeline_cell_pallas
+    if scheme.gtvf_ordering != "kdk":
+        raise NotImplementedError("slab coupling step implements the "
+                                  "default KDK ordering")
+
+    base = cfg.base
+    local_chunk = min(base.cell_chunk, -(-cfg.nc_max_local // 8) * 8)
+    local_cfg = cellmod.CellGridConfig(
+        cell=base.cell, M=base.M, NC_max=cfg.nc_max_local,
+        origin=base.origin, dims=base.dims, dim=base.dim,
+        cell_chunk=local_chunk, cutoff=base.cutoff, sub=base.sub)
+    H = cfg.halo_cap
+    D = cfg.n_dev
+    fdt = config.float_dtype()
+    scene_spec = _scene_spec(scene)
+    NGF = len(CPL_GHOST_FIELDS)
+
+    def ring(buf):
+        fl = jax.lax.ppermute(buf[0], "p",
+                              [(i, i + 1) for i in range(D - 1)])
+        fr = jax.lax.ppermute(buf[1], "p",
+                              [(i + 1, i) for i in range(D - 1)])
+        return fl, fr
+
+    def exchange(scene_l, masks):
+        """Full ghost exchange -> extended scene + overflow flag."""
+        mr, ml = masks
+        gf = [scene_l[k] for k in CPL_GHOST_FIELDS] + [
+            scene_l.dem_id.astype(fdt),
+            scene_l.is_fluid.astype(fdt),
+            scene_l.is_static_boundary.astype(fdt),
+            scene_l.is_rigid.astype(fdt)]
+        right_buf, ovr = _compact_rows(mr, gf, H)
+        left_buf, ovl = _compact_rows(ml, gf, H)
+        from_left, from_right = ring((right_buf, left_buf))
+        ghosts = jnp.concatenate([from_left, from_right], axis=0)
+        gvalid = ghosts[:, NGF + 4] > 0.5
+
+        nl = scene_l.n
+        ext = {}
+        gcol = {k: ghosts[:, i] for i, k in enumerate(CPL_GHOST_FIELDS)}
+        gdem = ghosts[:, NGF].astype(jnp.int32)
+        gfluid = ghosts[:, NGF + 1] > 0.5
+        gbdry = ghosts[:, NGF + 2] > 0.5
+        grigid_src = ghosts[:, NGF + 3] > 0.5
+        for k, v in scene_l.fields.items():
+            if not (hasattr(v, "ndim") and v.ndim >= 1
+                    and v.shape[0] == nl):
+                ext[k] = v
+                continue
+            if k in gcol:
+                tail = gcol[k].astype(v.dtype)
+                if k in ("x", "y", "z"):
+                    tail = jnp.where(gvalid, tail, _BIG)
+                elif k in ("rho", "rho_fsi", "m", "h"):
+                    tail = jnp.where(gvalid, tail, 1.0)
+            elif k == "dem_id":
+                tail = jnp.where(gvalid, gdem, -1)
+            elif k == "is_fluid":
+                tail = gvalid & gfluid
+            elif k == "is_static_boundary":
+                tail = gvalid & gbdry
+            elif k == "active":
+                tail = gvalid
+            else:
+                # is_rigid=0: ghosts are source-only for contact AND for
+                # the fluid passes' dest gates; the rigid-source flag
+                # needed by the FSI terms rides is_rigid_src below
+                tail = jnp.zeros((2 * H,) + v.shape[1:], v.dtype)
+            ext[k] = jnp.concatenate([v, tail], axis=0)
+        scene_e = Scene(ext, scene_l.meta)
+        return scene_e, grigid_src & gvalid, ovr | ovl
+
+    def local_step(scene_l: Scene, dt):
+        d = jax.lax.axis_index("p")
+        lo = cfg.slab_lo(d)
+        hi = cfg.slab_lo(d + 1)
+        w = cfg.halo_width
+
+        fl = scene_l.is_fluid & scene_l.active
+        bd = scene_l.is_static_boundary & scene_l.active
+        rbm = scene_l.is_rigid & scene_l.active
+        solid = bd | rbm
+        ovf = scene_l.nbr_overflow
+
+        # ---- kick (half, stored accelerations/forces) ----
+        if has_fluid:
+            scene_l = scene_l.replace(
+                u=jnp.where(fl, scene_l.u + 0.5 * dt * scene_l.au,
+                            scene_l.u),
+                v=jnp.where(fl, scene_l.v + 0.5 * dt * scene_l.av,
+                            scene_l.v),
+                w=jnp.where(fl, scene_l.w + 0.5 * dt * scene_l.aw,
+                            scene_l.w),
+            )
+        if has_rigid:
+            scene_l = rb._body_half_kick(scene_l, dt, two_d=False)
+            scene_l = rb._particles_from_body_velocity(scene_l)
+
+        # ---- density/pressure rates at u_{n+1/2}, x_n ----
+        if has_fluid:
+            act = scene_l.active
+            masks = (act & (scene_l.x >= hi - w), act & (scene_l.x < lo + w))
+            scene_e, grigid_src, ov = exchange(scene_l, masks)
+            ovf = ovf | ov
+            grid = cellmod.build_cell_grid(scene_e.x, scene_e.y,
+                                           scene_e.z, scene_e.active,
+                                           local_cfg)
+            ovf = ovf | grid.overflow
+            # ghost rigid SOURCES must pass the src_rigid gates of the
+            # fluid passes; local rows keep the real flag (ghost rows
+            # still never act as fluid/rigid DESTS: active ghosts have
+            # is_fluid from their owner but their outputs are dropped,
+            # and wall-BC/FSI dest gates read the query flags we set)
+            nl = scene_l.n
+            scene_r = scene_e.replace(
+                is_rigid=scene_e.is_rigid.at[nl:].set(grigid_src))
+            if use_fluid_pallas:
+                from ..ops import pallas_fluid as pfops
+                df, dfT = pfops.pack_fluid_pallas(scene_r, grid, local_cfg)
+                arho, ap = pfops.fluid_rates_pallas(
+                    scene_r, grid, local_cfg, kernel, df, dfT, nu_edac,
+                    c0, edac, has_rigid)
+            else:
+                df, di = fcops.pack_fluid_scene(scene_r, grid, local_cfg)
+                arho, ap = fcops.fluid_rates_cell(
+                    scene_r, grid, local_cfg, kernel, df, di, nu_edac,
+                    c0, edac, has_rigid)
+            scene_l = scene_l.replace(
+                arho=jnp.where(fl, arho[:nl], 0.0),
+                ap=jnp.where(fl, ap[:nl], 0.0))
+
+        # ---- drift + thermodynamic update ----
+        if has_fluid:
+            rho_new = scene_l.rho + dt * scene_l.arho
+            upd = dict(
+                x=jnp.where(fl, scene_l.x + dt * scene_l.u, scene_l.x),
+                y=jnp.where(fl, scene_l.y + dt * scene_l.v, scene_l.y),
+                z=jnp.where(fl, scene_l.z + dt * scene_l.w, scene_l.z),
+                rho=jnp.where(fl, rho_new, scene_l.rho),
+                vol=jnp.where(fl, scene_l.m / rho_new, scene_l.vol),
+            )
+            if edac:
+                upd["p"] = jnp.where(fl, scene_l.p + dt * scene_l.ap,
+                                     scene_l.p)
+            scene_l = scene_l.replace(**upd)
+        if has_rigid:
+            scene_l = rb._body_drift(scene_l, dt, two_d=False)
+            scene_l = rb._particles_from_body_position(scene_l)
+
+        # ---- forces at (x_{n+1}, p_{n+1}, u_{n+1/2}) ----
+        if has_fluid and not edac:
+            p, cs = fops.tait_eos(scene_l, rho0, c0, gamma, fl)
+            scene_l = scene_l.replace(p=p, cs=cs)
+        act = scene_l.active
+        masks = (act & (scene_l.x >= hi - w), act & (scene_l.x < lo + w))
+        scene_e, grigid_src, ov = exchange(scene_l, masks)
+        ovf = ovf | ov
+        grid = cellmod.build_cell_grid(scene_e.x, scene_e.y, scene_e.z,
+                                       scene_e.active, local_cfg)
+        ovf = ovf | grid.overflow
+        nl = scene_l.n
+        ffx = ffy = ffz = None
+        if has_fluid:
+            # wall-BC Shepard sums: dest solid LOCAL rows, src fluid
+            # (ghost fluids included as sources)
+            src_e = scene_e.replace(
+                is_rigid=scene_e.is_rigid.at[nl:].set(grigid_src))
+            if use_fluid_pallas:
+                from ..ops import pallas_fluid as pfops
+                df, dfT = pfops.pack_fluid_pallas(src_e, grid, local_cfg)
+                uf, vf, wf, sw, p_num = pfops.wall_bc_pallas(
+                    src_e, grid, local_cfg, kernel, df, dfT, gx_, gy_,
+                    gz_)
+            else:
+                df, di = fcops.pack_fluid_scene(src_e, grid, local_cfg)
+                uf, vf, wf, sw, p_num = fcops.wall_bc_cell(
+                    src_e, grid, local_cfg, kernel, df, di, gx_, gy_,
+                    gz_)
+            uf, vf, wf = uf[:nl], vf[:nl], wf[:nl]
+            sw, p_num = sw[:nl], p_num[:nl]
+            has = sw > 1e-14
+            p_bc = jnp.where(has, p_num / jnp.where(has, sw, 1.0), p_num)
+            inv = jnp.where(has, 1.0 / jnp.maximum(sw, 1e-300), 0.0)
+            ufn, vfn, wfn = uf * inv, vf * inv, wf * inv
+            scene_l = scene_l.replace(
+                p=jnp.where(bd, jnp.maximum(p_bc, 0.0), scene_l.p),
+                p_fsi=jnp.where(rbm, p_bc, scene_l.p_fsi),
+                uf=jnp.where(solid, ufn, scene_l.uf),
+                vf=jnp.where(solid, vfn, scene_l.vf),
+                wf=jnp.where(solid, wfn, scene_l.wf),
+                ug=jnp.where(solid, 2.0 * scene_l.u - ufn, scene_l.ug),
+                vg=jnp.where(solid, 2.0 * scene_l.v - vfn, scene_l.vg),
+                wg=jnp.where(solid, 2.0 * scene_l.w - wfn, scene_l.wg),
+                wij_adami=jnp.where(solid, sw, scene_l.wij_adami),
+            )
+            # resend the UPDATED p / p_fsi for the same ghost rows and
+            # patch the extended scene (the forces pass reads wall
+            # pressures through sources)
+            pr, _ = _compact_rows(masks[0], [scene_l.p, scene_l.p_fsi], H)
+            plf, _ = _compact_rows(masks[1], [scene_l.p, scene_l.p_fsi], H)
+            g_l, g_r = ring((pr, plf))
+            pcols = jnp.concatenate([g_l, g_r], axis=0)  # [2H, 3]
+            pvalid = pcols[:, 2] > 0.5
+            newp = jnp.where(pvalid, pcols[:, 0], scene_e.p[nl:])
+            newpfsi = jnp.where(pvalid, pcols[:, 1], scene_e.p_fsi[nl:])
+            scene_e = scene_e.replace(
+                p=jnp.concatenate([scene_l.p, newp.astype(fdt)]),
+                p_fsi=jnp.concatenate([scene_l.p_fsi,
+                                       newpfsi.astype(fdt)]))
+            src_e = scene_e.replace(
+                is_rigid=scene_e.is_rigid.at[nl:].set(grigid_src))
+            if use_fluid_pallas:
+                from ..ops import pallas_fluid as pfops
+                df, dfT = pfops.pack_fluid_pallas(src_e, grid, local_cfg)
+                aux, auy, auz, fxv, fyv, fzv = pfops.fluid_forces_pallas(
+                    src_e, grid, local_cfg, kernel, df, dfT, fluid_alpha,
+                    c0, has_rigid)
+            else:
+                df, di = fcops.pack_fluid_scene(src_e, grid, local_cfg)
+                p_d = pack_fields(grid, local_cfg, [src_e.p],
+                                  [0.0])[..., 0]
+                pfsi_d = pack_fields(grid, local_cfg, [src_e.p_fsi],
+                                     [0.0])[..., 0]
+                aux, auy, auz, fxv, fyv, fzv = fcops.fluid_forces_cell(
+                    src_e, grid, local_cfg, kernel, df, di, p_d, pfsi_d,
+                    fluid_alpha, c0, has_rigid)
+            scene_l = scene_l.replace(
+                au=jnp.where(fl, gx_ + aux[:nl], 0.0),
+                av=jnp.where(fl, gy_ + auy[:nl], 0.0),
+                aw=jnp.where(fl, gz_ + auz[:nl], 0.0),
+            )
+            ffx = jnp.where(rbm, fxv[:nl], 0.0)
+            ffy = jnp.where(rbm, fyv[:nl], 0.0)
+            ffz = jnp.where(rbm, fzv[:nl], 0.0)
+        if has_rigid:
+            extra = (ffx, ffy, ffz) if has_fluid else None
+            # contact pipeline on the extended scene (ghost sources
+            # carry cfib/dem; is_rigid=0 keeps them source-only)
+            scene_c = scene_e
+            if extra is not None:
+                extra = (jnp.concatenate(
+                    [extra[0], jnp.zeros(2 * H, fdt)]),
+                    jnp.concatenate([extra[1], jnp.zeros(2 * H, fdt)]),
+                    jnp.concatenate([extra[2], jnp.zeros(2 * H, fdt)]))
+            scene_c = rb.rigid_contact_force_eval_cell(
+                scene_c, grid, local_cfg, kernel, params, dt,
+                extra_fx=extra, pipeline=pipeline)
+            force = jax.lax.psum(scene_c.force, "p")
+            torque = jax.lax.psum(scene_c.torque, "p")
+            keep = {}
+            for k, v in scene_c.fields.items():
+                if (hasattr(v, "ndim") and v.ndim >= 1
+                        and v.shape[0] == nl + 2 * H):
+                    keep[k] = v[:nl]
+            # contact slot state + forces updated by the eval
+            scene_l = scene_l.replace(**{
+                k: keep[k] for k in keep
+                if k in ("fx", "fy", "fz", "delta_lt_x", "delta_lt_y",
+                         "delta_lt_z", "fn_x", "fn_y", "fn_z",
+                         "contact_force_normal_x",
+                         "contact_force_normal_y",
+                         "contact_force_normal_z",
+                         "contact_force_normal_wij",
+                         "contact_force_dist",
+                         "closest_point_dist_to_source",
+                         "x_source", "y_source", "z_source",
+                         "vx_source", "vy_source", "vz_source")})
+            scene_l = scene_l.replace(force=force, torque=torque)
+        scene_l = scene_l.replace(nbr_overflow=ovf)
+
+        # ---- second half-kick with fresh accelerations ----
+        if has_fluid:
+            scene_l = scene_l.replace(
+                u=jnp.where(fl, scene_l.u + 0.5 * dt * scene_l.au,
+                            scene_l.u),
+                v=jnp.where(fl, scene_l.v + 0.5 * dt * scene_l.av,
+                            scene_l.v),
+                w=jnp.where(fl, scene_l.w + 0.5 * dt * scene_l.aw,
+                            scene_l.w),
+            )
+        if has_rigid:
+            scene_l = rb._body_half_kick(scene_l, dt, two_d=False)
+            scene_l = rb._particles_from_body_velocity(scene_l)
         return scene_l
 
     step = jax.jit(jax.shard_map(
