@@ -227,12 +227,16 @@ def pack_rows(grid: CellGrid, cfg: CellGridConfig, arr, sentinel=0.0):
 
 
 def unpack(grid: CellGrid, cfg: CellGridConfig, dense, n: int, fill=0.0):
-    """Dense [NC_max, M, R...] -> per-particle [N, R...] (original order)."""
+    """Dense [NC_max, M, R...] -> per-particle [N, R...] (original order).
+
+    The gather runs in fill mode (sentinel ``dense_pos`` rows land on
+    ``fill``) behind an optimization barrier: without the barrier XLA
+    fuses the gather into its elementwise producers and re-evaluates
+    them per gathered element — measured 42 -> 117 ms for the Pallas
+    epilogue at 1M particles on v5e."""
     flat = dense.reshape((cfg.NC_max * cfg.M,) + dense.shape[2:])
-    pad = jnp.full((1,) + flat.shape[1:], fill, flat.dtype)
-    ext = jnp.concatenate([flat, pad], axis=0)
-    pos = jnp.minimum(grid.dense_pos, cfg.NC_max * cfg.M)
-    return ext[pos]
+    flat = jax.lax.optimization_barrier(flat)
+    return flat.at[grid.dense_pos].get(mode="fill", fill_value=fill)
 
 
 def map_over_cells(cfg: CellGridConfig, fn, *dense_args):

@@ -8,7 +8,7 @@ the Eq. 21 distance sums, and the per-slot closest-point pick
 ``:726-836``).  The XLA formulation streams ~200 MB of [C, M, OM]
 intermediates through HBM per cell chunk (quant tensors, one-hot
 broadcasts, pick masks); here every pair matrix lives in registers/VMEM
-and HBM sees only the packed inputs and the [NC, M, 14*S] output.
+and HBM sees only the packed inputs and the finalized [NC, M, 12*S] output.
 
 Layout (per cell program, all f32):
 
@@ -71,7 +71,7 @@ def pack_for_contact(scene, grid: CellGrid, cfg: CellGridConfig):
     return dense.astype(jnp.float32)
 
 
-def _kernel(S, M, O, cutoff, kernel: Kernel, n_occ_ref, q_ref,
+def _kernel(S, M, O, cutoff, init_dist, kernel: Kernel, n_occ_ref, q_ref,
             nbr_now, nbr_nxt, dft_hbm, out_ref, scratch, sems):
     """One program per occupied cell.  The 9/27 stencil source blocks
     are DMA'd dfT[slot] -> VMEM with a 2-deep revolving buffer (cell
@@ -186,31 +186,50 @@ def _kernel(S, M, O, cutoff, kernel: Kernel, n_occ_ref, q_ref,
             pickf, A, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # [M, 6S]
 
+        # ---- epilogue, in-kernel ([M, S] vreg math) -----------------------
+        # Formerly an XLA pass over the [NC, M, 14S] output; inside one
+        # jit XLA's layout assignment put NC minor-most on the stacked
+        # intermediates and copied ~1.5 GB around the unpack gather —
+        # 111 ms at 1M vs ~15 ms for this same math here.
+        has = q3 > 1e-12
+        inv_w = jnp.where(has, 1.0 / jnp.maximum(q3, 1e-30), 0.0)
+        mx, my, mz = q0 * inv_w, q1 * inv_w, q2 * inv_w
+        mag = jnp.sqrt(mx * mx + my * my + mz * mz)
+        inv_m = jnp.where(has & (mag > 0),
+                          1.0 / jnp.maximum(mag, 1e-30), 0.0)
+        cfn_x, cfn_y, cfn_z = mx * inv_m, my * inv_m, mz * inv_m
+        num = cfn_x * q4 + cfn_y * q5 + cfn_z * q6
+        dist = jnp.where(has, num / jnp.where(has, q3, 1.0), 0.0)
+        # float mask (Mosaic cannot concatenate i1 vregs)
+        foundf = jnp.where(min_r < init_dist, 1.0, 0.0)
+        mind = jnp.minimum(min_r, init_dist)
+        srcs = srcs * jnp.concatenate([foundf] * 6, axis=1)
+
         return jnp.concatenate(
-            [q0, q1, q2, q3, q4, q5, q6, min_r, srcs], axis=1)  # [M,14S]
+            [cfn_x, cfn_y, cfn_z, q3, dist, mind, srcs], axis=1)  # [M,12S]
 
     def inactive():
-        # unoccupied slack slot: zero sums, min at sentinel distance
-        return jnp.concatenate(
-            [jnp.zeros((M, 7 * S), jnp.float32),
-             jnp.full((M, S), _BIG, jnp.float32),
-             jnp.zeros((M, 6 * S), jnp.float32)], axis=1)
+        # unoccupied slack slot (never referenced by dense_pos)
+        return jnp.zeros((M, 12 * S), jnp.float32)
 
     out_ref[0] = jax.lax.cond(c < n_occ_ref[0], compute, inactive)
 
 
 def contact_sums_pallas(df, src_l, n_occ, nbr_slots, cfg: CellGridConfig,
-                        kernel: Kernel, S: int, interpret: bool = False):
-    """Raw per-slot sums for every cell: [NC, M, 14S] f32 with the layout
-    documented in :func:`_kernel` (7 sums, min_r, 6 source picks, each an
-    [NC, M, S] block along the last axis).
+                        kernel: Kernel, S: int, init_dist: float = 0.0,
+                        interpret: bool = False):
+    """Finalized per-slot contact fields for every cell: [NC, M, 12S] f32
+    — (cfn_x, cfn_y, cfn_z, wij-sum, contact dist, closest dist, 6 source
+    picks), each an [NC, M, S] block along the last axis.  The
+    normals/distance/pick epilogue runs IN-kernel (see :func:`_kernel`).
 
     ``src_l`` is the field-major pack ``dfT [NC+1, F, M]`` (sentinel row
     last); stencil blocks are DMA'd from it inside the kernel."""
     NC, M, F = df.shape
     O = nbr_slots.shape[1]
-    kern = functools.partial(_kernel, S, M, O, cfg.radius, kernel)
-    W = 14 * S
+    kern = functools.partial(_kernel, S, M, O, cfg.radius,
+                             float(init_dist), kernel)
+    W = 12 * S
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NC,),
@@ -271,35 +290,11 @@ def contact_pipeline_cell_pallas(scene, grid: CellGrid,
     # cell (no XLA pre-gather — it costs more than the kernel at 1M)
 
     out = contact_sums_pallas(df, dfT, grid.n_occupied, grid.nbr_slots,
-                              cfg, kernel, S,
-                              interpret=interpret)     # [NC, M, 14S]
+                              cfg, kernel, S, init_dist,
+                              interpret=interpret)     # [NC, M, 12S]
     out = out.astype(scene.x.dtype)
 
-    sums = out[..., 0:7 * S].reshape(NC, M, 7, S)
-    min_r = out[..., 7 * S:8 * S]
-    srcs = out[..., 8 * S:14 * S].reshape(NC, M, 6, S)
-
-    sx, sy, sz = sums[:, :, 0], sums[:, :, 1], sums[:, :, 2]
-    sw = sums[:, :, 3]
-    has = sw > 1e-12
-    inv_w = jnp.where(has, 1.0 / jnp.maximum(sw, 1e-30), 0.0)
-    mx, my, mz = sx * inv_w, sy * inv_w, sz * inv_w
-    mag = jnp.sqrt(mx * mx + my * my + mz * mz)
-    inv_m = jnp.where(has & (mag > 0), 1.0 / jnp.maximum(mag, 1e-30), 0.0)
-    cfn_x, cfn_y, cfn_z = mx * inv_m, my * inv_m, mz * inv_m
-
-    num = (cfn_x * sums[:, :, 4] + cfn_y * sums[:, :, 5]
-           + cfn_z * sums[:, :, 6])
-    dist = jnp.where(has, num / jnp.where(has, sw, 1.0), 0.0)
-
-    found = min_r < init_dist
-    mind = jnp.minimum(min_r, init_dist)
-    srcs = jnp.where(found[:, :, None, :], srcs, 0.0)
-
-    stacked = jnp.concatenate(
-        [jnp.stack([cfn_x, cfn_y, cfn_z, sw, dist, mind], axis=2),
-         srcs], axis=2)  # [NC, M, 12, S]
-    flat = unpack(grid, cfg, stacked.reshape(NC, M, 12 * S), n, 0.0)
+    flat = unpack(grid, cfg, out, n, 0.0)
     outp = flat.reshape(n, 12, S)
     dinfo = dict(
         contact_force_dist=outp[:, 4],
