@@ -146,8 +146,10 @@ def build_cell_grid(x, y, z, active, cfg: CellGridConfig) -> CellGrid:
     cid = (cx + gx * (cy + gy * cz)).astype(jnp.int32)
     key = jnp.where(ok, cid, jnp.int32(G))  # inactive sort to the end
 
-    order = jnp.argsort(key)           # sorted particle ids (original idx)
-    ks = key[order]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # sort_key_val: sorted keys come out of the sort itself — key[order]
+    # as a separate 1M-element gather costs 10 ms on v5e
+    ks, order = jax.lax.sort_key_val(key, idx)
     valid_s = ks < G
 
     head = valid_s & jnp.concatenate(
@@ -156,7 +158,6 @@ def build_cell_grid(x, y, z, active, cfg: CellGridConfig) -> CellGrid:
     n_occ = jnp.where(jnp.any(valid_s), cslot[-1] + 1, 0)
     cell_overflow = n_occ > cfg.NC_max
 
-    idx = jnp.arange(n, dtype=jnp.int32)
     start = jax.lax.cummax(jnp.where(head, idx, -1))
     rank = idx - start
     lane_overflow = jnp.any(valid_s & (rank >= cfg.M))
@@ -174,15 +175,23 @@ def build_cell_grid(x, y, z, active, cfg: CellGridConfig) -> CellGrid:
     dense_pos = jnp.full(n, cfg.NC_max * cfg.M, jnp.int32).at[
         jnp.where(slot_ok, order, n)].set(dense_pos_sorted, mode="drop")
 
+    # compact the occupied-cell heads to the front with a second sort —
+    # scatters on v5e cost a flat ~8.8 ms per 1M-update op regardless of
+    # masked-out rows, so an [N]-masked scatter into [NC_max] is 2x the
+    # price of this sort, and it shrinks the cell2slot scatter below
+    # from 1M updates to NC_max
+    key2 = jnp.where(head, cslot, jnp.int32(2 ** 30))
+    _, cid_sorted = jax.lax.sort_key_val(key2, ks)
+    slot_iota = jnp.arange(cfg.NC_max, dtype=jnp.int32)
+    # per occupied cell: its linear cell id (compacted head particles)
+    cell_cid = jnp.where(
+        slot_iota < jnp.minimum(n_occ, cfg.NC_max),
+        cid_sorted[: cfg.NC_max], -1)
+
     # cell id -> occupied slot table (direct addressing, no search)
     cell2slot = jnp.full(G + 1, cfg.NC_max, jnp.int32).at[
-        jnp.where(head, ks, G)].set(jnp.clip(cslot, 0, cfg.NC_max - 1),
-                                    mode="drop")[:G]
-
-    # per occupied cell: its linear cell id (via head particles)
-    cell_cid = jnp.full(cfg.NC_max, -1, jnp.int32).at[
-        jnp.where(head & (cslot < cfg.NC_max), cslot, cfg.NC_max)
-    ].set(ks, mode="drop", unique_indices=True)
+        jnp.where(cell_cid >= 0, cell_cid, G)].set(
+            slot_iota, mode="drop")[:G]
 
     # neighbor slots per occupied cell: direct lookups
     offs = []

@@ -47,12 +47,14 @@ from .kernels import Kernel
 
 _BIG = 1.0e9
 
-# packed f32 field order (shared with the host-side pack below)
-(_FX, _FY, _FZ, _FU, _FV, _FW, _FM, _FRHO, _FH, _FCFIB, _FDEM, _FFLUID,
- _FRIGID) = range(13)
-_NF = 13
-_SENT = [_BIG, _BIG, _BIG, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 0.0, -1.0, 0.0,
-         0.0]
+# packed f32 field order (shared with the host-side pack below).
+# V = m/rho (the only use of m and rho is their ratio in Eq. 22's t1);
+# FLAGS bit-packs dem_id*8 + is_boundary*4 + is_fluid*2 + is_rigid —
+# pack/dfT/DMA bytes scale with F, and 9 fields beat 13 by ~30% of the
+# pipeline's HBM traffic.
+(_FX, _FY, _FZ, _FU, _FV, _FW, _FVOL, _FH, _FFLAGS) = range(9)
+_NF = 9
+_SENT = [_BIG, _BIG, _BIG, 0.0, 0.0, 0.0, 0.0, 1.0, -8.0]
 
 
 def pack_for_contact(scene, grid: CellGrid, cfg: CellGridConfig):
@@ -61,32 +63,45 @@ def pack_for_contact(scene, grid: CellGrid, cfg: CellGridConfig):
     from .cellpairs import pack_fields
 
     fdt = scene.x.dtype
+    flags = (scene.dem_id.astype(fdt) * 8.0
+             + scene.contact_force_is_boundary * 4.0
+             + scene.is_fluid.astype(fdt) * 2.0
+             + scene.is_rigid.astype(fdt))
     dense = pack_fields(
         grid, cfg,
         [scene.x, scene.y, scene.z, scene.u, scene.v, scene.w,
-         scene.m, scene.rho, scene.h, scene.contact_force_is_boundary,
-         scene.dem_id.astype(fdt), scene.is_fluid.astype(fdt),
-         scene.is_rigid.astype(fdt)],
+         scene.m / scene.rho, scene.h, flags],
         _SENT)
     return dense.astype(jnp.float32)
 
 
+def _decode_flags(f):
+    """flags f32 -> (dem_id, is_boundary, is_fluid, is_rigid), exact for
+    dem_id < 2^20 (sentinel dem_id = -1 decodes as such)."""
+    dem = jnp.floor(f * 0.125)
+    r = f - 8.0 * dem
+    bdry = jnp.floor(r * 0.25)
+    r = r - 4.0 * bdry
+    fluid = jnp.floor(r * 0.5)
+    rigid = r - 2.0 * fluid
+    return dem, bdry, fluid, rigid
+
+
+_B = 16  # cells per kernel program (amortizes Mosaic grid-step dispatch:
+#         measured ~0.5 us/program on v5e — 55 ms of a 119 ms kernel at
+#         10^6 particles was pure dispatch+zero-write with 1 cell/program)
+
+
 def _kernel(S, M, O, cutoff, init_dist, kernel: Kernel, n_occ_ref, q_ref,
             nbr_now, nbr_nxt, dft_hbm, out_ref, scratch, sems):
-    """One program per occupied cell.  The 9/27 stencil source blocks
-    are DMA'd dfT[slot] -> VMEM with a 2-deep revolving buffer (cell
-    c+1's copies start before cell c's compute) — XLA's equivalent
-    pre-gather materializes a [NC, O, M, F] tensor in HBM whose gather
-    alone costs more than this whole kernel at 10^6 particles."""
+    """One program per _B consecutive cell slots.  Each cell's 9/27
+    stencil source blocks are DMA'd dfT[slot] -> VMEM with a 2-deep
+    revolving buffer (cell g+1's copies start before cell g's compute,
+    crossing program boundaries) — XLA's equivalent pre-gather
+    materializes a [NC, O, M, F] tensor in HBM whose gather alone costs
+    more than this whole kernel at 10^6 particles."""
     c = pl.program_id(0)
-    nc = pl.num_programs(0)
     n_occ = n_occ_ref[0]
-
-    # SMEM blocks are (8, O) row groups (Mosaic block-shape rule); the
-    # cell's row is rem(c, 8) of its group, the next cell's is
-    # rem(c+1, 8) of the group its index map selected
-    row_now = jax.lax.rem(c, jnp.int32(8))
-    row_nxt = jax.lax.rem(jnp.minimum(c + 1, nc - 1), jnp.int32(8))
 
     def start_dmas(buf, nbr_row, row):
         for o in range(O):
@@ -96,20 +111,15 @@ def _kernel(S, M, O, cutoff, init_dist, kernel: Kernel, n_occ_ref, q_ref,
 
     @pl.when((c == 0) & (n_occ > 0))
     def _():
-        start_dmas(0, nbr_now, row_now)
+        start_dmas(0, nbr_now, 0)
 
-    @pl.when((c + 1 < nc) & (c + 1 < n_occ))
-    def _():
-        start_dmas(jax.lax.rem(c + jnp.int32(1), jnp.int32(2)), nbr_nxt,
-                   row_nxt)
-
-    def compute():
-        buf = jax.lax.rem(c, jnp.int32(2))
+    def compute(b):
+        buf = b % 2
         for o in range(O):
             pltpu.make_async_copy(
-                dft_hbm.at[nbr_now[row_now, o]], scratch.at[buf, o],
+                dft_hbm.at[nbr_now[b, o]], scratch.at[buf, o],
                 sems.at[buf, o]).wait()
-        q = q_ref[0]      # [M, F]
+        q = q_ref[b]      # [M, F]
         # blocks are DMA'd with 128 lanes (Mosaic alignment); the pad
         # lanes carry sentinel values and are sliced away here
         sL = jnp.concatenate([scratch[buf, o][:, :M] for o in range(O)],
@@ -129,14 +139,15 @@ def _kernel(S, M, O, cutoff, init_dist, kernel: Kernel, n_occ_ref, q_ref,
         hij = 0.5 * (qcol(_FH) + srow(_FH))
         wij = kernel.w(rij, hij)
 
-        s_dem = srow(_FDEM)
-        gate = ((srow(_FCFIB) == 1.0)
-                & (s_dem != qcol(_FDEM))
-                & (srow(_FFLUID) == 0.0)
-                & (qcol(_FRIGID) == 1.0)
+        s_dem, s_bdry, s_fluid, _ = _decode_flags(srow(_FFLAGS))
+        q_dem, _, _, q_rigid = _decode_flags(qcol(_FFLAGS))
+        gate = ((s_bdry == 1.0)
+                & (s_dem != q_dem)
+                & (s_fluid == 0.0)
+                & (q_rigid == 1.0)
                 & (rij <= cutoff))
         rinv = 1.0 / jnp.maximum(rij, 1e-30)
-        t1 = jnp.where(gate, qcol(_FM) / qcol(_FRHO) * rinv * wij, 0.0)
+        t1 = jnp.where(gate, qcol(_FVOL) * rinv * wij, 0.0)
         t2 = t1 * rij
 
         # ---- slot sums: one MXU contraction -------------------------------
@@ -205,23 +216,48 @@ def _kernel(S, M, O, cutoff, init_dist, kernel: Kernel, n_occ_ref, q_ref,
         mind = jnp.minimum(min_r, init_dist)
         srcs = srcs * jnp.concatenate([foundf] * 6, axis=1)
 
-        return jnp.concatenate(
+        cols = jnp.concatenate(
             [cfn_x, cfn_y, cfn_z, q3, dist, mind, srcs], axis=1)  # [M,12S]
+        W = 12 * S
+        Wp = -(-W // 128) * 128
+        if Wp != W:
+            # 128-align the output minor dim: misaligned VMEM->HBM block
+            # copy-out runs ~40x off bandwidth (measured 27 ms for the
+            # 1.16 GB [*, 108] output at 1M particles)
+            cols = jnp.concatenate(
+                [cols, jnp.zeros((M, Wp - W), jnp.float32)], axis=1)
+        return cols
 
-    def inactive():
-        # unoccupied slack slot (never referenced by dense_pos)
-        return jnp.zeros((M, 12 * S), jnp.float32)
-
-    out_ref[0] = jax.lax.cond(c < n_occ_ref[0], compute, inactive)
+    base = c * _B
+    for b in range(_B):
+        g = base + b
+        # prefetch cell g+1's stencil (the next program's cell 0 when
+        # b == _B-1) into the other buffer before waiting on cell g's
+        if b + 1 < _B:
+            @pl.when(g + 1 < n_occ)
+            def _(b=b):
+                start_dmas((b + 1) % 2, nbr_now, b + 1)
+        else:
+            # g+1 < n_occ implies program c+1 is within the dynamic
+            # grid bound, so nbr_nxt's block is the real next row
+            @pl.when(g + 1 < n_occ)
+            def _():
+                start_dmas(0, nbr_nxt, 0)
+        # slots >= n_occ are never referenced by dense_pos: their out
+        # block stays unwritten (garbage), which unpack never gathers
+        @pl.when(g < n_occ)
+        def _(b=b):
+            out_ref[b] = compute(b)
 
 
 def contact_sums_pallas(df, src_l, n_occ, nbr_slots, cfg: CellGridConfig,
                         kernel: Kernel, S: int, init_dist: float = 0.0,
                         interpret: bool = False):
-    """Finalized per-slot contact fields for every cell: [NC, M, 12S] f32
+    """Finalized per-slot contact fields for every cell: [NC, M, Wp] f32
     — (cfn_x, cfn_y, cfn_z, wij-sum, contact dist, closest dist, 6 source
-    picks), each an [NC, M, S] block along the last axis.  The
-    normals/distance/pick epilogue runs IN-kernel (see :func:`_kernel`).
+    picks), each an [NC, M, S] block along the last axis; Wp is 12S
+    128-aligned (zero tail columns).  The normals/distance/pick epilogue
+    runs IN-kernel (see :func:`_kernel`).
 
     ``src_l`` is the field-major pack ``dfT [NC+1, F, M]`` (sentinel row
     last); stencil blocks are DMA'd from it inside the kernel."""
@@ -229,24 +265,31 @@ def contact_sums_pallas(df, src_l, n_occ, nbr_slots, cfg: CellGridConfig,
     O = nbr_slots.shape[1]
     kern = functools.partial(_kernel, S, M, O, cfg.radius,
                              float(init_dist), kernel)
-    W = 12 * S
+    W = -(-12 * S // 128) * 128
+    NCp = -(-NC // _B) * _B
+    nprog = NCp // _B
+    # dynamic grid bound: only programs covering occupied cells run —
+    # the NC_max slack tail (nc_factor 1.6) otherwise costs its block
+    # copies even though every cell in it is skipped
+    n_occ_i = jnp.minimum(jnp.asarray(n_occ, jnp.int32), NCp)
+    nprog_dyn = (jnp.maximum(n_occ_i, 0) + _B - 1) // _B
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(NC,),
+        grid=(nprog_dyn,),
         in_specs=[
-            pl.BlockSpec((1, M, F), lambda c, n: (c, 0, 0),
+            pl.BlockSpec((_B, M, F), lambda c, n: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            # the cell's own stencil row + the NEXT cell's (for the
-            # revolving-buffer prefetch), as tiny SMEM blocks — the full
-            # [NC, O] table exceeds the 1 MB SMEM scalar-prefetch budget
-            pl.BlockSpec((8, O), lambda c, n: (c // 8, 0),
+            # the program's _B stencil rows + the NEXT program's (for
+            # the revolving-buffer prefetch), as tiny SMEM blocks — the
+            # full [NC, O] table exceeds the SMEM scalar-prefetch budget
+            pl.BlockSpec((_B, O), lambda c, n: (c, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, O),
-                         lambda c, n: (jnp.minimum(c + 1, NC - 1) // 8, 0),
+            pl.BlockSpec((_B, O),
+                         lambda c, n: (jnp.minimum(c + 1, nprog - 1), 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, M, W), lambda c, n: (c, 0, 0),
+        out_specs=pl.BlockSpec((_B, M, W), lambda c, n: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, O, F, 128), jnp.float32),
@@ -254,15 +297,19 @@ def contact_sums_pallas(df, src_l, n_occ, nbr_slots, cfg: CellGridConfig,
         ],
     )
     slots = jnp.minimum(nbr_slots, NC).astype(jnp.int32)
-    if NC % 8:  # row-group blocks need a multiple-of-8 row count
+    if NCp != NC:  # pad cell rows to the program batch
         slots = jnp.concatenate(
-            [slots, jnp.full((8 - NC % 8, O), NC, jnp.int32)], axis=0)
-    return pl.pallas_call(
+            [slots, jnp.full((NCp - NC, O), NC, jnp.int32)], axis=0)
+        df = jnp.concatenate(
+            [df, jnp.broadcast_to(jnp.asarray(_SENT, df.dtype),
+                                  (NCp - NC, M, F))], axis=0)
+    out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NC, M, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NCp, M, W), jnp.float32),
         interpret=interpret,
     )(jnp.asarray(n_occ, jnp.int32).reshape(1), df, slots, slots, src_l)
+    return out[:NC]
 
 
 def contact_pipeline_cell_pallas(scene, grid: CellGrid,
@@ -291,11 +338,11 @@ def contact_pipeline_cell_pallas(scene, grid: CellGrid,
 
     out = contact_sums_pallas(df, dfT, grid.n_occupied, grid.nbr_slots,
                               cfg, kernel, S, init_dist,
-                              interpret=interpret)     # [NC, M, 12S]
+                              interpret=interpret)     # [NC, M, Wp]
     out = out.astype(scene.x.dtype)
 
     flat = unpack(grid, cfg, out, n, 0.0)
-    outp = flat.reshape(n, 12, S)
+    outp = flat[:, :12 * S].reshape(n, 12, S)
     dinfo = dict(
         contact_force_dist=outp[:, 4],
         closest_point_dist_to_source=outp[:, 5],

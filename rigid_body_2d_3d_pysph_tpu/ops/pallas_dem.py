@@ -57,14 +57,14 @@ _SENT = [_BIG, _BIG, _BIG, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
          -1.0, -1.0]
 
 
+_B = 8  # cells per kernel program (amortizes Mosaic grid-step dispatch;
+#         see pallas_contact._B)
+
+
 def _kernel(L, E, M, O, cutoff, n_occ_ref, q_ref, tab_ref, nbr_now,
             nbr_nxt, params_ref, dft_hbm, out_ref, scratch, sems):
     c = pl.program_id(0)
-    nc = pl.num_programs(0)
     n_occ = n_occ_ref[0]
-
-    row_now = jax.lax.rem(c, jnp.int32(8))
-    row_nxt = jax.lax.rem(jnp.minimum(c + 1, nc - 1), jnp.int32(8))
 
     def start_dmas(buf, nbr_row, row):
         for o in range(O):
@@ -74,23 +74,18 @@ def _kernel(L, E, M, O, cutoff, n_occ_ref, q_ref, tab_ref, nbr_now,
 
     @pl.when((c == 0) & (n_occ > 0))
     def _():
-        start_dmas(0, nbr_now, row_now)
-
-    @pl.when((c + 1 < nc) & (c + 1 < n_occ))
-    def _():
-        start_dmas(jax.lax.rem(c + jnp.int32(1), jnp.int32(2)), nbr_nxt,
-                   row_nxt)
+        start_dmas(0, nbr_now, 0)
 
     W = 8 + 5 * L
 
-    def compute():
-        buf = jax.lax.rem(c, jnp.int32(2))
+    def compute(b):
+        buf = b % 2
         for o in range(O):
             pltpu.make_async_copy(
-                dft_hbm.at[nbr_now[row_now, o]], scratch.at[buf, o],
+                dft_hbm.at[nbr_now[b, o]], scratch.at[buf, o],
                 sems.at[buf, o]).wait()
-        q = q_ref[0]          # [M, F]
-        tab = tab_ref[0]      # [M, 5L]
+        q = q_ref[b]          # [M, F]
+        tab = tab_ref[b]      # [M, 5L]
         sL = jnp.concatenate([scratch[buf, o][:, :M] for o in range(O)],
                              axis=1)  # [F, OM]
         dt = params_ref[0, 4]
@@ -254,13 +249,24 @@ def _kernel(L, E, M, O, cutoff, n_occ_ref, q_ref, tab_ref, nbr_now,
             [fx, fy, fz, trx, trY, trz, cnt, jnp.zeros((M, 1), jnp.float32)]
             + out_idx + out_dem + out_sx + out_sy + out_sz, axis=1)
 
-    def inactive():
-        return jnp.concatenate(
-            [jnp.zeros((M, 8), jnp.float32),
-             jnp.full((M, 2 * L), -1.0, jnp.float32),
-             jnp.zeros((M, 3 * L), jnp.float32)], axis=1)
-
-    out_ref[0] = jax.lax.cond(c < n_occ, compute, inactive)
+    base = c * _B
+    for b in range(_B):
+        g = base + b
+        if b + 1 < _B:
+            @pl.when(g + 1 < n_occ)
+            def _(b=b):
+                start_dmas((b + 1) % 2, nbr_now, b + 1)
+        else:
+            # g+1 < n_occ implies program c+1 is within the dynamic
+            # grid bound, so nbr_nxt's block is the real next row
+            @pl.when(g + 1 < n_occ)
+            def _():
+                start_dmas(0, nbr_nxt, 0)
+        # slots >= n_occ are never referenced by dense_pos: leave their
+        # out block unwritten (unpack never gathers it)
+        @pl.when(g < n_occ)
+        def _(b=b):
+            out_ref[b] = compute(b)
 
 
 def dem_sums_pallas(df, tab, src_l, params, n_occ, nbr_slots,
@@ -272,24 +278,29 @@ def dem_sums_pallas(df, tab, src_l, params, n_occ, nbr_slots,
     O = nbr_slots.shape[1]
     kern = functools.partial(_kernel, L, E, M, O, cfg.radius)
     W = 8 + 5 * L
+    NCp = -(-NC // _B) * _B
+    nprog = NCp // _B
+    # dynamic grid bound: only programs covering occupied cells run
+    n_occ_i = jnp.minimum(jnp.asarray(n_occ, jnp.int32), NCp)
+    nprog_dyn = (jnp.maximum(n_occ_i, 0) + _B - 1) // _B
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(NC,),
+        grid=(nprog_dyn,),
         in_specs=[
-            pl.BlockSpec((1, M, F), lambda c, n: (c, 0, 0),
+            pl.BlockSpec((_B, M, F), lambda c, n: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, 5 * L), lambda c, n: (c, 0, 0),
+            pl.BlockSpec((_B, M, 5 * L), lambda c, n: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, O), lambda c, n: (c // 8, 0),
+            pl.BlockSpec((_B, O), lambda c, n: (c, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, O),
-                         lambda c, n: (jnp.minimum(c + 1, NC - 1) // 8, 0),
+            pl.BlockSpec((_B, O),
+                         lambda c, n: (jnp.minimum(c + 1, nprog - 1), 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 8), lambda c, n: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, M, W), lambda c, n: (c, 0, 0),
+        out_specs=pl.BlockSpec((_B, M, W), lambda c, n: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, O, F, -(-M // 128) * 128), jnp.float32),
@@ -297,16 +308,22 @@ def dem_sums_pallas(df, tab, src_l, params, n_occ, nbr_slots,
         ],
     )
     slots = jnp.minimum(nbr_slots, NC).astype(jnp.int32)
-    if NC % 8:
+    if NCp != NC:
         slots = jnp.concatenate(
-            [slots, jnp.full((8 - NC % 8, O), NC, jnp.int32)], axis=0)
-    return pl.pallas_call(
+            [slots, jnp.full((NCp - NC, O), NC, jnp.int32)], axis=0)
+        df = jnp.concatenate(
+            [df, jnp.broadcast_to(jnp.asarray(_SENT, df.dtype),
+                                  (NCp - NC, M, F))], axis=0)
+        tab = jnp.concatenate(
+            [tab, jnp.full((NCp - NC, M, 5 * L), -1.0, tab.dtype)], axis=0)
+    out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NC, M, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NCp, M, W), jnp.float32),
         interpret=interpret,
     )(jnp.asarray(n_occ, jnp.int32).reshape(1), df, tab, slots, slots,
       params, src_l)
+    return out[:NC]
 
 
 def lvc_displacement_cell_pallas(scene, grid: CellGrid,

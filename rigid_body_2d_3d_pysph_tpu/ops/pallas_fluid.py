@@ -65,15 +65,17 @@ def pack_fluid_pallas(scene, grid: CellGrid, cfg: CellGridConfig):
     return df, dfT
 
 
+_B = 8  # cells per kernel program (amortizes Mosaic grid-step dispatch;
+#         see pallas_contact._B)
+
+
 def _scaffold(compute, W, M, O, n_occ_ref, q_ref, nbr_now, nbr_nxt,
               dft_hbm, out_ref, scratch, sems):
-    """Generic per-cell pair kernel: DMA the stencil blocks, hand
-    (q [M, F], sL [F, OM]) to ``compute`` -> [M, W]."""
+    """Generic pair kernel over _B cells per program: DMA each cell's
+    stencil blocks (2-deep revolving buffer, prefetch crossing program
+    boundaries), hand (q [M, F], sL [F, OM]) to ``compute`` -> [M, W]."""
     c = pl.program_id(0)
-    nc = pl.num_programs(0)
     n_occ = n_occ_ref[0]
-    row_now = jax.lax.rem(c, jnp.int32(8))
-    row_nxt = jax.lax.rem(jnp.minimum(c + 1, nc - 1), jnp.int32(8))
 
     def start_dmas(buf, nbr_row, row):
         for o in range(O):
@@ -83,48 +85,66 @@ def _scaffold(compute, W, M, O, n_occ_ref, q_ref, nbr_now, nbr_nxt,
 
     @pl.when((c == 0) & (n_occ > 0))
     def _():
-        start_dmas(0, nbr_now, row_now)
+        start_dmas(0, nbr_now, 0)
 
-    @pl.when((c + 1 < nc) & (c + 1 < n_occ))
-    def _():
-        start_dmas(jax.lax.rem(c + jnp.int32(1), jnp.int32(2)), nbr_nxt,
-                   row_nxt)
-
-    def active():
-        buf = jax.lax.rem(c, jnp.int32(2))
+    def active(b):
+        buf = b % 2
         for o in range(O):
             pltpu.make_async_copy(
-                dft_hbm.at[nbr_now[row_now, o]], scratch.at[buf, o],
+                dft_hbm.at[nbr_now[b, o]], scratch.at[buf, o],
                 sems.at[buf, o]).wait()
         sL = jnp.concatenate([scratch[buf, o][:, :M] for o in range(O)],
                              axis=1)  # [F, OM]
-        return compute(q_ref[0], sL)
+        return compute(q_ref[b], sL)
 
-    out_ref[0] = jax.lax.cond(c < n_occ, active,
-                              lambda: jnp.zeros((M, W), jnp.float32))
+    base = c * _B
+    for b in range(_B):
+        g = base + b
+        if b + 1 < _B:
+            @pl.when(g + 1 < n_occ)
+            def _(b=b):
+                start_dmas((b + 1) % 2, nbr_now, b + 1)
+        else:
+            # g+1 < n_occ implies program c+1 is within the dynamic
+            # grid bound, so nbr_nxt's block is the real next row
+            @pl.when(g + 1 < n_occ)
+            def _():
+                start_dmas(0, nbr_nxt, 0)
+        # slots >= n_occ are never referenced by dense_pos: leave their
+        # out block unwritten (unpack never gathers it)
+        @pl.when(g < n_occ)
+        def _(b=b):
+            out_ref[b] = active(b)
 
 
 def cell_pair_pallas(df, dfT, n_occ, nbr_slots, cfg: CellGridConfig,
                      compute, W: int, interpret: bool = False):
     """Run ``compute(q, sL) -> [M, W]`` once per occupied cell; returns
-    [NC, M, W] f32 (zeros on the NC_max slack)."""
+    [NC, M, W] f32 (slots past ``n_occ`` are unwritten garbage — only
+    ever read back through ``unpack``'s dense_pos gather, which skips
+    them)."""
     NC, M, F = df.shape
     O = nbr_slots.shape[1]
     kern = functools.partial(_scaffold, compute, W, M, O)
+    NCp = -(-NC // _B) * _B
+    nprog = NCp // _B
+    # dynamic grid bound: only programs covering occupied cells run
+    n_occ_i = jnp.minimum(jnp.asarray(n_occ, jnp.int32), NCp)
+    nprog_dyn = (jnp.maximum(n_occ_i, 0) + _B - 1) // _B
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(NC,),
+        grid=(nprog_dyn,),
         in_specs=[
-            pl.BlockSpec((1, M, F), lambda c, n: (c, 0, 0),
+            pl.BlockSpec((_B, M, F), lambda c, n: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, O), lambda c, n: (c // 8, 0),
+            pl.BlockSpec((_B, O), lambda c, n: (c, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, O),
-                         lambda c, n: (jnp.minimum(c + 1, NC - 1) // 8, 0),
+            pl.BlockSpec((_B, O),
+                         lambda c, n: (jnp.minimum(c + 1, nprog - 1), 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, M, W), lambda c, n: (c, 0, 0),
+        out_specs=pl.BlockSpec((_B, M, W), lambda c, n: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, O, F, -(-M // 128) * 128), jnp.float32),
@@ -132,15 +152,19 @@ def cell_pair_pallas(df, dfT, n_occ, nbr_slots, cfg: CellGridConfig,
         ],
     )
     slots = jnp.minimum(nbr_slots, NC).astype(jnp.int32)
-    if NC % 8:
+    if NCp != NC:
         slots = jnp.concatenate(
-            [slots, jnp.full((8 - NC % 8, O), NC, jnp.int32)], axis=0)
-    return pl.pallas_call(
+            [slots, jnp.full((NCp - NC, O), NC, jnp.int32)], axis=0)
+        df = jnp.concatenate(
+            [df, jnp.broadcast_to(jnp.asarray(_SENT, df.dtype),
+                                  (NCp - NC, M, F))], axis=0)
+    out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NC, M, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NCp, M, W), jnp.float32),
         interpret=interpret,
     )(jnp.asarray(n_occ, jnp.int32).reshape(1), df, slots, slots, dfT)
+    return out[:NC]
 
 
 def _pair_geom(q, sL, kernel: Kernel):
