@@ -160,6 +160,8 @@ def _kernel(S, M, O, cutoff, init_dist, kernel: Kernel, n_occ_ref, q_ref,
         quant = jnp.concatenate(
             [t1 * xij, t1 * yij, t1 * zij, t2,
              t2 * xij, t2 * yij, t2 * zij], axis=0)  # [7M, OM]
+        # (measured: bf16-casting this contraction does not move the
+        # kernel time — it is VPU/copy-bound, not MXU-bound)
         sums = jax.lax.dot_general(
             quant, ohT,
             dimension_numbers=(((1,), (1,)), ((), ())),
