@@ -182,6 +182,9 @@ def build_cell_grid(x, y, z, active, cfg: CellGridConfig) -> CellGrid:
     # from 1M updates to NC_max
     key2 = jnp.where(head, cslot, jnp.int32(2 ** 30))
     _, cid_sorted = jax.lax.sort_key_val(key2, ks)
+    if n < cfg.NC_max:  # fewer particles than cell slots (small shards)
+        cid_sorted = jnp.concatenate(
+            [cid_sorted, jnp.full(cfg.NC_max - n, G, jnp.int32)])
     slot_iota = jnp.arange(cfg.NC_max, dtype=jnp.int32)
     # per occupied cell: its linear cell id (compacted head particles)
     cell_cid = jnp.where(
