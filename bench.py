@@ -77,6 +77,61 @@ def build_scene():
     return scheme, scene
 
 
+def build_scene_3d():
+    """~BENCH_N-particle 3D contact scene (benchmark-5-3d-like: cubes
+    falling onto a floor slab) on the 27-cell stencil path."""
+    from rigid_body_2d_3d_pysph_tpu.geom import get_3d_block
+    from rigid_body_2d_3d_pysph_tpu.models.rigid_body import RigidBody3DScheme
+    from rigid_body_2d_3d_pysph_tpu.state import (
+        make_group, build_scene, ROLE_RIGID, ROLE_BOUNDARY,
+    )
+
+    n_bodies = 8
+    side = max(int(round((max(N_TARGET, 1000) / n_bodies) ** (1 / 3))), 5)
+    dx = 0.2 / (side - 1)
+    xb1, yb1, zb1 = get_3d_block(dx, 0.2, 0.2, 0.2)
+    xs, ys, zs, bid = [], [], [], []
+    for b in range(n_bodies):
+        col, row = b % 4, b // 4
+        xs.append(xb1 + col * 0.25)
+        ys.append(yb1 + 0.1 + 0.05 * (b % 3))
+        zs.append(zb1 + row * 0.25)
+        bid.append(np.full(len(xb1), b, np.int32))
+    xb = np.concatenate(xs)
+    yb = np.concatenate(ys)
+    zb = np.concatenate(zs)
+    bid = np.concatenate(bid)
+    # floor slab, 3 layers
+    gx = np.arange(-0.2, 1.3, dx)
+    gz = np.arange(-0.2, 0.7, dx)
+    fx, fz = np.meshgrid(gx, gz)
+    xs_f, ys_f, zs_f = [], [], []
+    for layer in range(3):
+        xs_f.append(fx.ravel())
+        zs_f.append(fz.ravel())
+        ys_f.append(np.full(fx.size, yb.min() - (layer + 1) * dx))
+    xf = np.concatenate(xs_f)
+    yf = np.concatenate(ys_f)
+    zf = np.concatenate(zs_f)
+    m = 2000.0 * dx**3
+    body = make_group("body", xb, yb, z=zb, m=m, h=1.3 * dx, rho=2000.0,
+                      rad_s=dx / 2, role=ROLE_RIGID, body_id=bid,
+                      dem_id=bid,
+                      constants={"E": 69e9, "poisson_ratio": 0.3})
+    floor = make_group("floor", xf, yf, z=zf, m=m, h=1.3 * dx, rho=2000.0,
+                       rad_s=dx / 2, role=ROLE_BOUNDARY, dem_id=n_bodies,
+                       constants={"E": 69e9, "poisson_ratio": 0.3})
+    scene = build_scene([body, floor], dim=3, total_no_bodies=n_bodies + 1,
+                        spacing0=dx)
+    scheme = RigidBody3DScheme(rigid_bodies=["body"], boundaries=["floor"],
+                               gy=-9.81, dim=3)
+    default_engine = ("pallas" if os.environ.get("RB_TPU_PLATFORM") != "cpu"
+                      else "cell")
+    scheme.engine = os.environ.get("BENCH_ENGINE", default_engine)
+    scene = scheme.setup(scene)
+    return scheme, scene
+
+
 def build_dem_scene():
     """~BENCH_N-grain column over a floor (the dem_granular_column_collapse
     geometry scaled up) on the cell-engine DEM path."""
@@ -124,6 +179,10 @@ def measure(n_steps: int) -> dict:
         # (the round-2 scan>25 device fault was specific to the old XLA
         # table program; the Pallas DEM kernel scans clean — verified
         # through scan(50) at 100k grains)
+        chunk = min(n_steps, 50)
+    elif workload == "rigid3d":
+        scheme, scene = build_scene_3d()
+        dt = jnp.asarray(5e-5)
         chunk = min(n_steps, 50)
     else:
         scheme, scene = build_scene()
@@ -181,10 +240,12 @@ if __name__ == "__main__":
     except Exception:
         pass
 
-    # ~48 quintic-kernel neighbors per particle in this 2D configuration
+    # ~48 quintic-kernel neighbors per particle in 2D, ~250 in 3D
     workload = os.environ.get("BENCH_WORKLOAD", "rigid")
-    name = "rigid-contact" if workload == "rigid" else "DEM-LVC"
-    pair_evals = r["steps_per_sec"] * r["n"] * 48 * 2  # 2 pair passes/step
+    name = {"rigid": "rigid-contact", "rigid3d": "rigid-contact-3d",
+            "dem": "DEM-LVC"}.get(workload, workload)
+    nbrs = 250 if workload == "rigid3d" else 48
+    pair_evals = r["steps_per_sec"] * r["n"] * nbrs * 2  # 2 pair passes
     print(json.dumps({
         "metric": f"{name} steps/sec @ {r['n']} particles "
                   f"({r['platform']}; ~{pair_evals:.3g} contact-pair "

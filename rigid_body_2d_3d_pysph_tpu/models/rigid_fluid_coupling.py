@@ -387,7 +387,10 @@ class RigidFluidCouplingScheme(Scheme):
 
         def run_forces(scene, grid, ctx):
             if use_fluid_pallas:
-                # repack so sources see the post-wall-BC p / p_fsi
+                # repack so sources see the post-wall-BC p / p_fsi (a
+                # 2-column patch of the existing pack measures SLOWER
+                # than this full repack — gather row count dominates,
+                # not field width)
                 df, dfT = pfops.pack_fluid_pallas(scene, grid, ccfg)
                 return pfops.fluid_forces_pallas(
                     scene, grid, ccfg, kernel, df, dfT, fluid_alpha, c0,

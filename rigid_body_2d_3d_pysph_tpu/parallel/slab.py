@@ -331,6 +331,124 @@ def make_slab_step(scheme, scene: Scene, mesh: Mesh, cfg: SlabConfig):
     return step
 
 
+def make_slab_redistribute(scene: Scene, mesh: Mesh, cfg: SlabConfig):
+    """Jitted ON-DEVICE re-decomposition: each device compacts its
+    emigrant rows (current slab != own slab), ``ppermute``s them to the
+    adjacent ring neighbor, and packs arrivals into its inactive tail.
+
+    Replaces the host-side :func:`redistribute` round-trip between
+    device chunks — with this, multi-chunk sharded runs never leave the
+    devices.  Emigration is bounded like the halo: at most
+    ``cfg.halo_cap`` rows per face per call, and at most ONE slab of
+    travel per call (a row two slabs away is forwarded again by the
+    next call, but its pair interactions are wrong until it arrives, so
+    ``nbr_overflow`` is raised — call redistribute at least as often as
+    the halo-validity bound allows drift).
+
+    All per-particle state travels, including [N, L] contact-table
+    rows (the tables are gid-keyed, so slot renumbering is free).
+    int/bool fields ride the float buffer — exact for gids < 2^24 in
+    f32.
+    """
+    D = cfg.n_dev
+    E = cfg.halo_cap
+    fdt = config.float_dtype()
+    nrows = scene.n
+    nl = nrows // D
+
+    # flattened travel layout: every [N, ...] field as f32 columns
+    keys = sorted(k for k, v in scene.fields.items()
+                  if hasattr(v, "ndim") and v.ndim >= 1
+                  and v.shape[0] == nrows)
+    col_of = {}
+    ncols = 0
+    for k in keys:
+        w = int(np.prod(scene.fields[k].shape[1:])) if \
+            scene.fields[k].ndim > 1 else 1
+        col_of[k] = (ncols, w)
+        ncols += w
+
+    # inactive-row pad values (mirrors slab_decompose's padding)
+    def pad_value(k):
+        if k in ("x", "y", "z"):
+            return _BIG
+        if k in ("m", "rho", "h", "moi"):
+            return 1.0
+        if k in ("gid", "tng_idx", "tng_idx_dem_id", "dem_id"):
+            return -1.0
+        return 0.0
+
+    scene_spec = _scene_spec(scene)
+
+    def flatten(scene_l):
+        cols = []
+        for k in keys:
+            v = scene_l.fields[k].astype(fdt)
+            cols.append(v.reshape(v.shape[0], -1) if v.ndim > 1
+                        else v[:, None])
+        return jnp.concatenate(cols, axis=1)  # [nl, ncols]
+
+    def unflatten(buf, scene_l):
+        upd = {}
+        for k in keys:
+            c0, w = col_of[k]
+            v0 = scene_l.fields[k]
+            col = buf[:, c0:c0 + w]
+            col = col.reshape((buf.shape[0],) + v0.shape[1:])
+            upd[k] = col.astype(v0.dtype)
+        return scene_l.replace(**upd)
+
+    a_col = col_of["active"][0]
+
+    def local_redis(scene_l: Scene):
+        d = jax.lax.axis_index("p")
+        # traced twin of _slab_of (which is numpy/host-side)
+        cx = jnp.floor((scene_l.x - cfg.base.origin[0]) / cfg.base.cell
+                       ).astype(jnp.int32) - cfg.base.sub
+        slab = jnp.clip(cx // cfg.slab_cells, 0, cfg.n_dev - 1)
+        act = scene_l.active
+        stay = act & (slab == d)
+        go_l = act & (slab < d)
+        go_r = act & (slab > d)
+        far = act & ((slab < d - 1) | (slab > d + 1))
+
+        buf = flatten(scene_l)
+        cols = [buf[:, i] for i in range(ncols)]
+        bufL, ovl = _compact_rows(go_l, cols, E)   # [E, ncols+1]
+        bufR, ovr = _compact_rows(go_r, cols, E)
+        recv_r = jax.lax.ppermute(
+            bufL, "p", [(i, i - 1) for i in range(1, D)])
+        recv_l = jax.lax.ppermute(
+            bufR, "p", [(i, i + 1) for i in range(D - 1)])
+        arrivals = jnp.concatenate([recv_r, recv_l], axis=0)  # [2E, C+1]
+        avalid = arrivals[:, -1] > 0.5
+
+        # stayers to the front (stable), arrivals into the tail
+        order = jnp.argsort(jnp.where(stay, 0, 1), stable=True)
+        sbuf = buf[order]
+        n_stay = jnp.sum(stay).astype(jnp.int32)
+        arank = jnp.cumsum(avalid.astype(jnp.int32)) - 1
+        dest = jnp.where(avalid, n_stay + arank, nl)
+        row_ovf = (n_stay + jnp.sum(avalid.astype(jnp.int32))) > nl
+        sbuf = sbuf.at[dest].set(arrivals[:, :ncols], mode="drop")
+
+        n_tot = n_stay + jnp.sum(avalid.astype(jnp.int32))
+        live = jnp.arange(nl, dtype=jnp.int32) < n_tot
+        pads = jnp.asarray([pad_value(k) for k in keys for _ in
+                            range(col_of[k][1])], fdt)
+        sbuf = jnp.where(live[:, None], sbuf, pads[None, :])
+        sbuf = sbuf.at[:, a_col].set(jnp.where(live, 1.0, 0.0))
+
+        out = unflatten(sbuf, scene_l)
+        ovf = (ovl | ovr | row_ovf | jnp.any(far)).astype(jnp.int32)
+        ovf = jax.lax.psum(ovf, "p") > 0  # any device's overflow counts
+        return out.replace(nbr_overflow=scene_l.nbr_overflow | ovf)
+
+    return jax.jit(jax.shard_map(
+        local_redis, mesh=mesh, in_specs=(scene_spec,),
+        out_specs=scene_spec, check_vma=False))
+
+
 def attach_gids(scene: Scene) -> Scene:
     """Persistent global particle ids (int32 row index at attach time).
     The slab DEM/coupling paths key contact tables on gids so table

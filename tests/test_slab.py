@@ -116,3 +116,62 @@ def test_redistribute_roundtrip(slab_setup):
     # stepping after redistribution still works
     s3 = step(slabmod.shard_slab_scene(s2, mesh), dt)
     assert not bool(np.asarray(s3.nbr_overflow))
+
+
+def test_jitted_redistribute_matches_host(slab_setup):
+    """On-device (shard_map + ppermute) re-decomposition vs the host
+    round-trip: same ownership, same active rows, stepping continues."""
+    scheme, scene, mesh, cfg, dec, step = slab_setup
+    dt = jnp.asarray(1e-4)
+    s = dec
+    for _ in range(5):
+        s = step(s, dt)
+    redis = slabmod.make_slab_redistribute(s, mesh, cfg)
+    s_dev = redis(s)
+    s_host = slabmod.redistribute(s, cfg)
+    assert not bool(np.asarray(s_dev.nbr_overflow))
+    act_d = np.asarray(s_dev.active)
+    act_h = np.asarray(s_host.active)
+    assert act_d.sum() == act_h.sum() == scene.n
+    # ownership: every active row sits in its own slab on both paths
+    for sc, act in ((s_dev, act_d), (s_host, act_h)):
+        slab = np.asarray(slabmod._slab_of(np.asarray(sc.x)[act], cfg))
+        rows = np.arange(len(act))[act] // (len(act) // cfg.n_dev)
+        np.testing.assert_array_equal(slab, rows)
+    a = np.lexsort((np.asarray(s_dev.y)[act_d], np.asarray(s_dev.x)[act_d]))
+    b = np.lexsort((np.asarray(s_host.y)[act_h],
+                    np.asarray(s_host.x)[act_h]))
+    for k in ("x", "y", "u", "v"):
+        np.testing.assert_allclose(np.asarray(s_dev[k])[act_d][a],
+                                   np.asarray(s_host[k])[act_h][b],
+                                   atol=0, err_msg=k)
+    # stepping continues on the device-redistributed scene
+    s2 = step(s_dev, dt)
+    assert not bool(np.asarray(s2.nbr_overflow))
+
+
+@pytest.mark.slow
+def test_jitted_redistribute_long_run_matches_single_device(slab_setup):
+    """60 steps with on-device redistribution every 10 (bodies fall and
+    slide; rows migrate across slab boundaries) vs the single-device
+    trajectory."""
+    scheme, scene, mesh, cfg, dec, step = slab_setup
+    ref_step = scheme.make_step(scene)
+    dt = jnp.asarray(1e-4)
+    redis = slabmod.make_slab_redistribute(dec, mesh, cfg)
+    s_ref, s_slab = scene, dec
+    for i in range(60):
+        s_ref = ref_step(s_ref, dt)
+        s_slab = step(s_slab, dt)
+        if (i + 1) % 10 == 0:
+            s_slab = redis(s_slab)
+    assert not bool(np.asarray(s_slab.nbr_overflow))
+    act = np.asarray(s_slab.active)
+    assert act.sum() == s_ref.n
+    key_slab = np.lexsort((np.asarray(s_slab.y)[act],
+                           np.asarray(s_slab.x)[act]))
+    key_ref = np.lexsort((np.asarray(s_ref.y), np.asarray(s_ref.x)))
+    for k in ("x", "y", "u", "v"):
+        a = np.asarray(s_slab[k])[act][key_slab]
+        b = np.asarray(s_ref[k])[key_ref]
+        np.testing.assert_allclose(a, b, atol=1e-9, err_msg=k)
