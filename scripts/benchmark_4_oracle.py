@@ -96,7 +96,47 @@ def first_rebound(ys):
     return float(after[peak] - ys[t0])
 
 
+def run_jax_f64(en: float, n_steps=30000, chunk=100):
+    """Same sweep through the JAX f64 production step (nklist engine on
+    CPU) — the implementation half of validate.py's benchmark_4 gate."""
+    from rigid_body_2d_3d_pysph_tpu.models.rigid_body import \
+        make_multi_step
+
+    app, scene = build_scene(en)
+    sch = app.scheme.scheme
+    step = sch.make_step(scene)
+    multi = make_multi_step(step, chunk)
+    dt = jnp.asarray(1e-4, scene.x.dtype)
+    import numpy as _np
+    ys = []
+    s = scene
+    for c in range(n_steps // chunk):
+        s = multi(s, dt)
+        ys.append(float(_np.asarray(s.xcm)[:, 1].mean()))
+        if c % 30 == 0:
+            print(f"[jax f64] en={en} step {(c + 1) * chunk}/{n_steps} "
+                  f"y={ys[-1]:.4f}", flush=True)
+    return np.asarray(ys)
+
+
 def main():
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                       "cases", "data", "benchmark_4_oracle.json")
+    if "--jax" in sys.argv:
+        # refresh the jax_f64_rebound fields of an existing oracle json
+        with open(out) as f:
+            res = json.load(f)
+        for en in ("1.0", "0.8", "0.5"):
+            ys = run_jax_f64(float(en))
+            res[en]["jax_f64_rebound"] = round(first_rebound(ys), 4)
+            print(f"en={en}: jax f64 rebound="
+                  f"{res[en]['jax_f64_rebound']} "
+                  f"(oracle {res[en]['rebound']:.4f})", flush=True)
+        with open(out, "w") as f:
+            json.dump(res, f, indent=1)
+        print("wrote", out, flush=True)
+        return
+
     res = {}
     for en in ("1.0", "0.8", "0.5"):
         ys = run_oracle(float(en))
@@ -104,8 +144,6 @@ def main():
                        rebound=first_rebound(ys),
                        y_min=float(ys.min()), y_final=float(ys[-1]))
         print(f"en={en}: rebound={res[en]['rebound']}", flush=True)
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                       "cases", "data", "benchmark_4_oracle.json")
     with open(out, "w") as f:
         json.dump(res, f, indent=1)
     print("wrote", out, flush=True)
