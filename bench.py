@@ -27,7 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_TARGET = int(os.environ.get("BENCH_N", 100_000))
 N_STEPS = int(os.environ.get("BENCH_STEPS", 200))
-CPU_STEPS = int(os.environ.get("BENCH_CPU_STEPS", 10))
+# the host has ONE CPU core behind this TPU: a few baseline steps are
+# ~25 s each at 100k particles, so keep the default sample small
+CPU_STEPS = int(os.environ.get("BENCH_CPU_STEPS", 4))
 
 
 def build_scene():
