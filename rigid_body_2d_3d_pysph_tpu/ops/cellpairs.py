@@ -40,8 +40,8 @@ import numpy as np
 @dataclass(frozen=True)
 class CellGridConfig:
     cell: float                  # bin size ((cutoff + skin) / sub)
-    M: int                       # max particles per cell (padded lanes)
-    NC_max: int                  # max occupied cells (static)
+    M: int                       # dense-slot lane width (particles/slot)
+    NC_max: int                  # max occupied slots (static)
     origin: tuple                # grid AABB min corner (3,)
     dims: tuple                  # cells per axis (3,), z=1 in 2D
     dim: int = 2
@@ -50,6 +50,20 @@ class CellGridConfig:
     sub: int = 1                 # bins per cutoff (stencil radius)
     skin: float = 0.0            # Verlet skin: grid rebuilt only when
     #                              max displacement since build > skin/2
+    spill: bool = False          # slot spillover: a cell with > M
+    #                              particles takes ceil(count/M)
+    #                              CONSECUTIVE dense slots instead of
+    #                              sizing M for the worst cell — lane
+    #                              utilization stays high and occupancy
+    #                              growth costs slots, not lanes
+    nbr_width: int = 0           # packed stencil-slot table width
+    #                              (spill mode; 0 -> len(stencil))
+    max_spill: int = 4           # max slots per cell (spill mode)
+
+    @property
+    def O(self) -> int:
+        return self.nbr_width if (self.spill and self.nbr_width)  \
+            else len(self.stencil)
 
     @property
     def radius(self) -> float:
@@ -74,7 +88,8 @@ def config_from_positions(x, y, z, cutoff: float, dim: int,
                           sub: int = 1,
                           cell_chunk: int = 512,
                           skin: float = 0.0,
-                          cell_factor: float = 1.0) -> CellGridConfig:
+                          cell_factor: float = 1.0,
+                          spill: bool | None = None) -> CellGridConfig:
     """Host-side: bound the domain from initial positions with ``slack``
     x extent margins; size M from measured occupancy and NC_max from the
     occupied-cell count.  ``sub`` bins per cutoff trades a wider stencil
@@ -105,8 +120,36 @@ def config_from_positions(x, y, z, cutoff: float, dim: int,
                       - np.array(origin)) / cell).astype(np.int64)
     if dim == 2:
         cells[:, 2] = 0
-    _, counts = np.unique(cells, axis=0, return_counts=True)
+    uniq, counts = np.unique(cells, axis=0, return_counts=True)
     occ = counts.max()
+    if spill is None:
+        # spill mode wins when worst-cell occupancy would force wide
+        # lanes; in 3D the mean occupancy already fills wide lanes
+        spill = (dim == 2) and M is None and sub == 1
+    if spill:
+        if M is None:
+            M = 16  # fixed lane width; occupancy growth costs SLOTS
+        nsl = -(-counts // M)
+        NC_max = max(64, int(np.ceil(nsl.sum() * nc_factor)))
+        # packed stencil width: worst initial stencil slot-sum + slack,
+        # rounded so O*M lands on a 128-lane boundary
+        occmap = {tuple(c): int(s) for c, s in zip(uniq, nsl)}
+        r = range(-sub, sub + 1)
+        worst = 0
+        for c in map(tuple, uniq):
+            s = sum(occmap.get((c[0] + i, c[1] + j, c[2] + k), 0)
+                    for i in r for j in r
+                    for k in (r if dim == 3 else (0,)))
+            worst = max(worst, s)
+        O_p = max(len(tuple(None for _ in r)) ** dim,
+                  int(np.ceil(worst * 1.6)))
+        lane_q = max(1, 128 // M)
+        O_p = -(-O_p // lane_q) * lane_q
+        return CellGridConfig(cell=cell, M=int(M), NC_max=NC_max,
+                              origin=origin, dims=dims, dim=dim,
+                              cell_chunk=cell_chunk, cutoff=float(cutoff),
+                              sub=sub, skin=float(skin), spill=True,
+                              nbr_width=int(O_p))
     if M is None:
         M = int(np.ceil(occ * occupancy_safety)) + 2
         M = max(8, -(-M // 8) * 8)  # multiples of 8 lanes
@@ -154,6 +197,9 @@ def build_cell_grid(x, y, z, active, cfg: CellGridConfig) -> CellGrid:
 
     head = valid_s & jnp.concatenate(
         [jnp.ones(1, bool), ks[1:] != ks[:-1]])
+    if cfg.spill:
+        return _finish_spill_grid(cfg, n, G, ks, order, valid_s, head,
+                                  idx, dom_overflow)
     cslot = jnp.cumsum(head.astype(jnp.int32)) - 1        # [N] sorted order
     n_occ = jnp.where(jnp.any(valid_s), cslot[-1] + 1, 0)
     cell_overflow = n_occ > cfg.NC_max
@@ -211,6 +257,102 @@ def build_cell_grid(x, y, z, active, cfg: CellGridConfig) -> CellGrid:
     return CellGrid(slot2p=slot2p, dense_pos=dense_pos,
                     nbr_slots=nbr_slots, n_occupied=n_occ,
                     overflow=dom_overflow | cell_overflow | lane_overflow)
+
+
+def _finish_spill_grid(cfg: CellGridConfig, n, G, ks, order, valid_s,
+                       head, idx, dom_overflow):
+    """Slot-spillover layout: a cell with count > M particles occupies
+    ceil(count/M) CONSECUTIVE dense slots (every M-th particle of a cell
+    starts a new slot), so M stays a narrow fixed lane width and
+    occupancy growth costs slots instead of lanes.  The stencil table
+    packs, per cell, the slot RUNS of its 9/27 neighbor cells into
+    ``cfg.nbr_width`` entries (sentinel-tail padded); every slot of a
+    cell shares its cell's row."""
+    M = cfg.M
+    NC = cfg.NC_max
+    O_p = cfg.O
+    stencil = cfg.stencil
+    gx, gy, gz = cfg.dims
+
+    start = jax.lax.cummax(jnp.where(head, idx, -1))
+    rank = idx - start
+    lane = rank % M
+    subhead = valid_s & (lane == 0)
+    vslot = jnp.cumsum(subhead.astype(jnp.int32)) - 1   # [N] sorted order
+    n_occ = jnp.where(jnp.any(valid_s), vslot[-1] + 1, 0)
+    cap_overflow = n_occ > NC
+
+    slot_ok = valid_s & (vslot < NC)
+    dense_pos_sorted = jnp.where(
+        slot_ok, jnp.clip(vslot, 0, NC - 1) * M + lane, NC * M)
+    slot2p = jnp.full(NC * M + 1, n, jnp.int32).at[
+        dense_pos_sorted].set(order.astype(jnp.int32), mode="drop",
+                              unique_indices=True)[: NC * M]
+    dense_pos = jnp.full(n, NC * M, jnp.int32).at[
+        jnp.where(slot_ok, order, n)].set(dense_pos_sorted, mode="drop")
+
+    # compact occupied cells to the front: (cid, base slot); a cell's
+    # slot count is the base DIFFERENCE to the next occupied cell, so no
+    # per-cell count scan is needed
+    n_cells = jnp.sum(head.astype(jnp.int32))
+    key2 = jnp.where(head, vslot, jnp.int32(2 ** 30))
+    _, cid_c, base_c = jax.lax.sort((key2, ks, vslot), num_keys=1)
+    if n < NC:
+        padi = jnp.full(NC - n, G, jnp.int32)
+        cid_c = jnp.concatenate([cid_c, padi])
+        base_c = jnp.concatenate([base_c, jnp.zeros(NC - n, jnp.int32)])
+    iota_nc = jnp.arange(NC, dtype=jnp.int32)
+    cellmask = iota_nc < jnp.minimum(n_cells, NC)
+    occ_cid = jnp.where(cellmask, cid_c[:NC], G)
+    occ_base = jnp.where(cellmask, base_c[:NC], NC)
+    base_ext = jnp.concatenate([base_c[1:NC + 1],
+                                jnp.zeros(1, jnp.int32)])[:NC]
+    base_nxt = jnp.where(iota_nc + 1 < jnp.minimum(n_cells, NC),
+                         base_ext, n_occ)
+    occ_nsl = jnp.where(cellmask,
+                        jnp.clip(base_nxt - occ_base, 0, 2 ** 10), 0)
+    spill_deep = jnp.any(occ_nsl > cfg.max_spill)
+
+    # cell id -> packed (base*SH + nslots) direct-address table (ONE
+    # [G] gather per stencil offset instead of two)
+    SH = 32
+    packed = jnp.full(G + 1, NC * SH, jnp.int32).at[occ_cid].set(
+        occ_base * SH + jnp.minimum(occ_nsl, SH - 1), mode="drop")[:G]
+
+    # packed per-CELL stencil table [NC, O_p]
+    nb_base, nb_nsl = [], []
+    for (dx_, dy_, dz_) in stencil:
+        off = dx_ + gx * (dy_ + gy * dz_)
+        q = occ_cid + off
+        q = jnp.where((occ_cid < G) & (q >= 0) & (q < G), q, G)
+        qc = jnp.clip(q, 0, G - 1)
+        ok = q < G
+        pv = jnp.where(ok, packed[qc], NC * SH)
+        nb_base.append(pv // SH)
+        nb_nsl.append(pv % SH)
+    nb_base = jnp.stack(nb_base, axis=1)                 # [NC, O9]
+    nb_nsl = jnp.stack(nb_nsl, axis=1)
+    pos = jnp.cumsum(nb_nsl, axis=1) - nb_nsl            # exclusive
+    spill_ovf = jnp.any(pos[:, -1] + nb_nsl[:, -1] > O_p)
+
+    tbl = jnp.full((NC, O_p), NC, jnp.int32)
+    oi = jnp.arange(O_p, dtype=jnp.int32)[None]
+    for o in range(len(stencil)):
+        for j in range(cfg.max_spill):
+            m = (j < nb_nsl[:, o:o + 1]) & (oi == pos[:, o:o + 1] + j)
+            tbl = jnp.where(m, nb_base[:, o:o + 1] + j, tbl)
+
+    # expand cell rows to slot rows (every slot of a cell shares its row)
+    s2c = jnp.zeros(NC + 1, jnp.int32).at[
+        jnp.where(cellmask, jnp.clip(occ_base, 0, NC - 1), NC)
+    ].set(iota_nc, mode="drop")[:NC]
+    s2c = jax.lax.cummax(s2c)
+    nbr_slots = tbl[s2c]                                 # [NC, O_p]
+
+    return CellGrid(slot2p=slot2p, dense_pos=dense_pos,
+                    nbr_slots=nbr_slots, n_occupied=n_occ,
+                    overflow=(dom_overflow | cap_overflow | spill_ovf
+                              | spill_deep))
 
 
 # ---------------------------------------------------------------------------

@@ -104,6 +104,9 @@ def _kernel(S, M, O, cutoff, init_dist, kernel: Kernel, n_occ_ref, q_ref,
     n_occ = n_occ_ref[0]
 
     def start_dmas(buf, nbr_row, row):
+        # (skipping sentinel entries' DMAs behind pl.when guards and
+        # substituting the sentinel constant in-register measured
+        # SLOWER — the scalar branches cost more than the copies)
         for o in range(O):
             pltpu.make_async_copy(
                 dft_hbm.at[nbr_row[row, o]], scratch.at[buf, o],

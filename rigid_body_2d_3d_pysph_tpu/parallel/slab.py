@@ -34,6 +34,7 @@ Design:
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from functools import partial
 
@@ -115,7 +116,12 @@ def make_slab_config(scene: Scene, base: cellmod.CellGridConfig,
     nc_local = 0
     for d in range(n_dev):
         m = (slab >= max(d - 1, 0)) & (slab <= min(d + 1, n_dev - 1))
-        occ = len(np.unique(np.stack([cells[m], cy[m], cz[m]], 1), axis=0))
+        _, cnts = np.unique(np.stack([cells[m], cy[m], cz[m]], 1),
+                            axis=0, return_counts=True)
+        if base.spill:  # slots, not cells (a cell takes ceil(count/M))
+            occ = int((-(-cnts // base.M)).sum())
+        else:
+            occ = len(cnts)
         nc_local = max(nc_local, occ)
     nc_max_local = max(64, int(nc_local * 1.6))
     return SlabConfig(base=base, n_dev=n_dev, slab_cells=int(slab_cells),
@@ -221,10 +227,8 @@ def make_slab_step(scheme, scene: Scene, mesh: Mesh, cfg: SlabConfig):
     # bigger global chunk would pad every device's small local grid up
     # to it, multiplying the per-device pair work)
     local_chunk = min(base.cell_chunk, -(-cfg.nc_max_local // 8) * 8)
-    local_cfg = cellmod.CellGridConfig(
-        cell=base.cell, M=base.M, NC_max=cfg.nc_max_local,
-        origin=base.origin, dims=base.dims, dim=base.dim,
-        cell_chunk=local_chunk, cutoff=base.cutoff, sub=base.sub)
+    local_cfg = dataclasses.replace(
+        base, NC_max=cfg.nc_max_local, cell_chunk=local_chunk, skin=0.0)
     H = cfg.halo_cap
     D = cfg.n_dev
     fdt = config.float_dtype()
@@ -492,10 +496,8 @@ def make_slab_dem_step(scheme, scene: Scene, mesh: Mesh, cfg: SlabConfig,
     use_pallas = scheme._use_pallas()
     base = cfg.base
     local_chunk = min(base.cell_chunk, -(-cfg.nc_max_local // 8) * 8)
-    local_cfg = cellmod.CellGridConfig(
-        cell=base.cell, M=base.M, NC_max=cfg.nc_max_local,
-        origin=base.origin, dims=base.dims, dim=base.dim,
-        cell_chunk=local_chunk, cutoff=base.cutoff, sub=base.sub)
+    local_cfg = dataclasses.replace(
+        base, NC_max=cfg.nc_max_local, cell_chunk=local_chunk, skin=0.0)
     H = cfg.halo_cap
     D = cfg.n_dev
     fdt = config.float_dtype()
@@ -685,10 +687,8 @@ def make_slab_coupling_step(scheme, scene: Scene, mesh: Mesh,
 
     base = cfg.base
     local_chunk = min(base.cell_chunk, -(-cfg.nc_max_local // 8) * 8)
-    local_cfg = cellmod.CellGridConfig(
-        cell=base.cell, M=base.M, NC_max=cfg.nc_max_local,
-        origin=base.origin, dims=base.dims, dim=base.dim,
-        cell_chunk=local_chunk, cutoff=base.cutoff, sub=base.sub)
+    local_cfg = dataclasses.replace(
+        base, NC_max=cfg.nc_max_local, cell_chunk=local_chunk, skin=0.0)
     H = cfg.halo_cap
     D = cfg.n_dev
     fdt = config.float_dtype()
