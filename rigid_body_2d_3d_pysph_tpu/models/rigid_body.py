@@ -414,6 +414,25 @@ def rigid_contact_force_eval_cell(scene, grid, cell_cfg, kernel, params, dt,
         pipeline = ccops.contact_pipeline_cell_fused
     cfn_x, cfn_y, cfn_z, cfn_w, dinfo = pipeline(
         scene, grid, cell_cfg, kernel)
+    return _contact_force_tail(scene, cfn_x, cfn_y, cfn_z, cfn_w, dinfo,
+                               params, dt, extra_fx)
+
+
+def rigid_contact_force_eval_sorted(scene, cell_cfg, kernel, params, dt,
+                                    extra_fx=None):
+    """Stage-2 force evaluation on the sorted-pack Pallas fast path
+    (grid build + pack fused through the cell sort — the grid comes OUT
+    of the pipeline here).  Returns ``(scene, grid_overflow)``."""
+    from ..ops import pallas_contact as pcops
+    cfn_x, cfn_y, cfn_z, cfn_w, dinfo, grid = \
+        pcops.contact_pipeline_sorted_pallas(scene, cell_cfg, kernel)
+    scene = _contact_force_tail(scene, cfn_x, cfn_y, cfn_z, cfn_w, dinfo,
+                                params, dt, extra_fx)
+    return scene, grid.overflow
+
+
+def _contact_force_tail(scene, cfn_x, cfn_y, cfn_z, cfn_w, dinfo,
+                        params, dt, extra_fx=None):
     fx, fy, fz = rops.body_force(scene, params["gx"], params["gy"],
                                  params["gz"], scene.is_rigid)
     dfx, dfy, dfz, slots = cops.contact_force(
@@ -481,19 +500,41 @@ def _grid_for_step(scene: Scene, cell_cfg):
     return scene, grid
 
 
+def _is_pallas_pipeline(pipeline):
+    if pipeline is None:
+        return False
+    from ..ops import pallas_contact as pcops
+    return pipeline is pcops.contact_pipeline_cell_pallas
+
+
 def build_rigid_gtvf_step_cell(kernel, cell_cfg, params: dict, two_d: bool,
                                pipeline=None):
-    """GTVF timestep on the dense cell engine (the TPU production path)."""
+    """GTVF timestep on the dense cell engine (the TPU production path).
+
+    With the Pallas pipeline on a spillover grid (and no Verlet skin),
+    the step takes the sorted-pack fast path: the pack fields ride the
+    grid build's cell sort and a Pallas kernel expands them straight
+    into the contact kernel's dfT layout — no [NC*M]-row gather, no
+    slot2p scatter, no XLA transpose (~37 ms of a 139 ms step at 1M)."""
+    use_sorted = (_is_pallas_pipeline(pipeline) and cell_cfg.spill
+                  and cell_cfg.skin <= 0.0)
 
     @jax.jit
     def step(scene: Scene, dt):
         scene = _body_half_kick(scene, dt, two_d)
         scene = _particles_from_body_velocity(scene)
 
-        scene, grid = _grid_for_step(scene, cell_cfg)
-        scene = rigid_contact_force_eval_cell(scene, grid, cell_cfg, kernel,
-                                              params, dt, pipeline=pipeline)
-        scene = scene.replace(nbr_overflow=scene.nbr_overflow | grid.overflow)
+        if use_sorted:
+            scene, grid_ovf = rigid_contact_force_eval_sorted(
+                scene, cell_cfg, kernel, params, dt)
+            scene = scene.replace(nbr_overflow=scene.nbr_overflow | grid_ovf)
+        else:
+            scene, grid = _grid_for_step(scene, cell_cfg)
+            scene = rigid_contact_force_eval_cell(
+                scene, grid, cell_cfg, kernel, params, dt,
+                pipeline=pipeline)
+            scene = scene.replace(
+                nbr_overflow=scene.nbr_overflow | grid.overflow)
 
         scene = _body_drift(scene, dt, two_d)
         scene = _particles_from_body_position(scene)

@@ -62,16 +62,7 @@ def pack_for_contact(scene, grid: CellGrid, cfg: CellGridConfig):
     zero)."""
     from .cellpairs import pack_fields
 
-    fdt = scene.x.dtype
-    flags = (scene.dem_id.astype(fdt) * 8.0
-             + scene.contact_force_is_boundary * 4.0
-             + scene.is_fluid.astype(fdt) * 2.0
-             + scene.is_rigid.astype(fdt))
-    dense = pack_fields(
-        grid, cfg,
-        [scene.x, scene.y, scene.z, scene.u, scene.v, scene.w,
-         scene.m / scene.rho, scene.h, flags],
-        _SENT)
+    dense = pack_fields(grid, cfg, contact_payload(scene), _SENT)
     return dense.astype(jnp.float32)
 
 
@@ -102,6 +93,13 @@ def _kernel(S, M, O, cutoff, init_dist, kernel: Kernel, n_occ_ref, q_ref,
     more than this whole kernel at 10^6 particles."""
     c = pl.program_id(0)
     n_occ = n_occ_ref[0]
+    # queries come from the SAME field-major dfT the sources do (the
+    # query block is dfT's own slot row, pipelined by BlockSpec) — the
+    # [M, F] slot-major pack the kernel used to read is gone entirely.
+    # One exact one-hot MXU placement turns [F, 128] into [M, F].
+    isel = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (M, 128), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (M, 128), 1), 1.0, 0.0)
 
     def start_dmas(buf, nbr_row, row):
         # (skipping sentinel entries' DMAs behind pl.when guards and
@@ -122,14 +120,16 @@ def _kernel(S, M, O, cutoff, init_dist, kernel: Kernel, n_occ_ref, q_ref,
             pltpu.make_async_copy(
                 dft_hbm.at[nbr_now[b, o]], scratch.at[buf, o],
                 sems.at[buf, o]).wait()
-        q = q_ref[b]      # [M, F]
+        qT = jax.lax.dot_general(
+            isel, q_ref[b], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [M, F], exact copy
         # blocks are DMA'd with 128 lanes (Mosaic alignment); the pad
         # lanes carry sentinel values and are sliced away here
         sL = jnp.concatenate([scratch[buf, o][:, :M] for o in range(O)],
                              axis=1)  # [F, OM]
 
         def qcol(f):
-            return q[:, f:f + 1]          # [M, 1]
+            return qT[:, f:f + 1]         # [M, 1]
 
         def srow(f):
             return sL[f:f + 1, :]         # [1, OM]
@@ -255,24 +255,32 @@ def _kernel(S, M, O, cutoff, init_dist, kernel: Kernel, n_occ_ref, q_ref,
             out_ref[b] = compute(b)
 
 
-def contact_sums_pallas(df, src_l, n_occ, nbr_slots, cfg: CellGridConfig,
+def contact_sums_pallas(src_l, n_occ, nbr_slots, cfg: CellGridConfig,
                         kernel: Kernel, S: int, init_dist: float = 0.0,
-                        interpret: bool = False):
+                        interpret: bool = False, sent_slot=None):
     """Finalized per-slot contact fields for every cell: [NC, M, Wp] f32
     — (cfn_x, cfn_y, cfn_z, wij-sum, contact dist, closest dist, 6 source
     picks), each an [NC, M, S] block along the last axis; Wp is 12S
     128-aligned (zero tail columns).  The normals/distance/pick epilogue
     runs IN-kernel (see :func:`_kernel`).
 
-    ``src_l`` is the field-major pack ``dfT [NC+1, F, M]`` (sentinel row
-    last); stencil blocks are DMA'd from it inside the kernel."""
-    NC, M, F = df.shape
-    O = nbr_slots.shape[1]
+    ``src_l`` is the field-major pack ``dfT [>= NCp(+1), F, 128]``;
+    stencil blocks are DMA'd from it inside the kernel and the query
+    block is its own slot row (BlockSpec-pipelined).  ``sent_slot`` is
+    the dfT row holding an all-sentinel block, used for missing-neighbor
+    entries: NC for the XLA-packed layout (sentinel row appended last),
+    ``n_occ`` for the Pallas sorted-pack layout (first unoccupied slot,
+    always written all-sentinel)."""
+    NC, O = nbr_slots.shape
+    M = cfg.M
+    F = src_l.shape[1]
     kern = functools.partial(_kernel, S, M, O, cfg.radius,
                              float(init_dist), kernel)
     W = -(-12 * S // 128) * 128
     NCp = -(-NC // _B) * _B
     nprog = NCp // _B
+    if sent_slot is None:
+        sent_slot = jnp.int32(NC)
     # dynamic grid bound: only programs covering occupied cells run —
     # the NC_max slack tail (nc_factor 1.6) otherwise costs its block
     # copies even though every cell in it is skipped
@@ -282,7 +290,8 @@ def contact_sums_pallas(df, src_l, n_occ, nbr_slots, cfg: CellGridConfig,
         num_scalar_prefetch=1,
         grid=(nprog_dyn,),
         in_specs=[
-            pl.BlockSpec((_B, M, F), lambda c, n: (c, 0, 0),
+            # the query block: dfT's own slot rows
+            pl.BlockSpec((_B, F, 128), lambda c, n: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             # the program's _B stencil rows + the NEXT program's (for
             # the revolving-buffer prefetch), as tiny SMEM blocks — the
@@ -301,19 +310,28 @@ def contact_sums_pallas(df, src_l, n_occ, nbr_slots, cfg: CellGridConfig,
             pltpu.SemaphoreType.DMA((2, O)),
         ],
     )
-    slots = jnp.minimum(nbr_slots, NC).astype(jnp.int32)
+    slots = jnp.where(nbr_slots < NC, nbr_slots,
+                      sent_slot).astype(jnp.int32)
     if NCp != NC:  # pad cell rows to the program batch
         slots = jnp.concatenate(
-            [slots, jnp.full((NCp - NC, O), NC, jnp.int32)], axis=0)
-        df = jnp.concatenate(
-            [df, jnp.broadcast_to(jnp.asarray(_SENT, df.dtype),
-                                  (NCp - NC, M, F))], axis=0)
+            [slots, jnp.broadcast_to(jnp.asarray(sent_slot, jnp.int32),
+                                     (NCp - NC, O))], axis=0)
+    # query BlockSpec needs >= NCp rows, a multiple of the block batch
+    rows = src_l.shape[0]
+    target = max(NCp, -(-rows // _B) * _B)
+    if rows < target:
+        src_l = jnp.concatenate(
+            [src_l,
+             jnp.broadcast_to(
+                 jnp.asarray(_SENT, src_l.dtype)[None, :, None],
+                 (target - rows, F, 128))], axis=0)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NCp, M, W), jnp.float32),
         interpret=interpret,
-    )(jnp.asarray(n_occ, jnp.int32).reshape(1), df, slots, slots, src_l)
+    )(jnp.asarray(n_occ, jnp.int32).reshape(1), src_l, slots, slots,
+      src_l)
     return out[:NC]
 
 
@@ -323,10 +341,7 @@ def contact_pipeline_cell_pallas(scene, grid: CellGrid,
     """Drop-in replacement for ``contact_cell.contact_pipeline_cell_fused``
     running the pair pipeline in the fused Pallas kernel.  Same outputs
     ([N,S] cfn_x/y/z, wij, dist_info) in original particle order."""
-    from .cellpairs import unpack
-
     S = scene.meta.total_no_bodies
-    n = scene.n
     init_dist = 4.0 * scene.meta.spacing0
 
     df = pack_for_contact(scene, grid, cfg)            # [NC, M, F]
@@ -341,11 +356,17 @@ def contact_pipeline_cell_pallas(scene, grid: CellGrid,
     # field-major [NC+1, F, 128]: the kernel DMAs one block per stencil
     # cell (no XLA pre-gather — it costs more than the kernel at 1M)
 
-    out = contact_sums_pallas(df, dfT, grid.n_occupied, grid.nbr_slots,
+    out = contact_sums_pallas(dfT, grid.n_occupied, grid.nbr_slots,
                               cfg, kernel, S, init_dist,
                               interpret=interpret)     # [NC, M, Wp]
-    out = out.astype(scene.x.dtype)
+    return _unpack_contact_out(out, grid, cfg, scene, S)
 
+
+def _unpack_contact_out(out, grid, cfg, scene, S):
+    from .cellpairs import unpack
+
+    n = scene.n
+    out = out.astype(scene.x.dtype)
     flat = unpack(grid, cfg, out, n, 0.0)
     outp = flat[:, :12 * S].reshape(n, 12, S)
     dinfo = dict(
@@ -356,3 +377,45 @@ def contact_pipeline_cell_pallas(scene, grid: CellGrid,
         vz_source=outp[:, 11],
     )
     return outp[:, 0], outp[:, 1], outp[:, 2], outp[:, 3], dinfo
+
+
+def contact_payload(scene):
+    """The 9 packed contact fields as per-particle [N] arrays (the
+    sorted-pack path carries these through the grid build's cell sort
+    — see ``cellpairs.build_cell_grid_packed``)."""
+    fdt = scene.x.dtype
+    flags = (scene.dem_id.astype(fdt) * 8.0
+             + scene.contact_force_is_boundary * 4.0
+             + scene.is_fluid.astype(fdt) * 2.0
+             + scene.is_rigid.astype(fdt))
+    return [scene.x, scene.y, scene.z, scene.u, scene.v, scene.w,
+            scene.m / scene.rho, scene.h, flags]
+
+
+def contact_pipeline_sorted_pallas(scene, cfg: CellGridConfig,
+                                   kernel: Kernel,
+                                   interpret: bool = False):
+    """The full TPU fast path: grid build with the pack fields carried
+    through the cell sort, Pallas pack-expansion into dfT, fused Pallas
+    contact kernel, unpack.  Returns the same outputs as
+    :func:`contact_pipeline_cell_pallas` plus the built grid (callers
+    fold ``grid.overflow`` into the scene and reuse nothing else).
+
+    Numerically identical to the gather-packed pipeline: the same sort
+    order, the same f32 field values, the same kernel."""
+    from . import pallas_pack
+    from .cellpairs import build_cell_grid_packed
+
+    S = scene.meta.total_no_bodies
+    init_dist = 4.0 * scene.meta.spacing0
+
+    payload = contact_payload(scene)
+    grid, pt = build_cell_grid_packed(scene.x, scene.y, scene.z,
+                                      scene.active, cfg, payload)
+    dfT = pallas_pack.expand_dft_pallas(pt, grid.n_occupied, cfg, _SENT,
+                                        interpret=interpret)
+    sent_slot = jnp.minimum(grid.n_occupied, cfg.NC_max)
+    out = contact_sums_pallas(dfT, grid.n_occupied, grid.nbr_slots,
+                              cfg, kernel, S, init_dist,
+                              interpret=interpret, sent_slot=sent_slot)
+    return _unpack_contact_out(out, grid, cfg, scene, S) + (grid,)

@@ -46,9 +46,9 @@ def main():
             jnp.asarray(pcops._SENT, df.dtype)[None, :, None],
             (NC + 1, F, 128 - M))
         dfT = jnp.concatenate([dfT, pad], axis=2)
-    out = jax.jit(lambda a, b, c, d: pcops.contact_sums_pallas(
-        a, b, c, d, cfg, kernel, S))(df, dfT, grid.n_occupied,
-                                     grid.nbr_slots)
+    out = jax.jit(lambda b, c, d: pcops.contact_sums_pallas(
+        b, c, d, cfg, kernel, S))(dfT, grid.n_occupied,
+                                  grid.nbr_slots)
     jax.block_until_ready(out)
     init_dist = 4.0 * scene.meta.spacing0
 

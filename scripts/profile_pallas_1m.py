@@ -67,9 +67,9 @@ def main():
     dfT, _ = timeit(dftj, df, name="dfT build (transpose + lane pad)")
 
     init_dist = 4.0 * scene.meta.spacing0
-    kern = jax.jit(lambda df, dfT, n_occ, nbr: pcops.contact_sums_pallas(
-        df, dfT, n_occ, nbr, cfg, kernel, S, init_dist))
-    out, _ = timeit(kern, df, dfT, grid.n_occupied, grid.nbr_slots,
+    kern = jax.jit(lambda dfT, n_occ, nbr: pcops.contact_sums_pallas(
+        dfT, n_occ, nbr, cfg, kernel, S, init_dist))
+    out, _ = timeit(kern, dfT, grid.n_occupied, grid.nbr_slots,
                     name="contact_sums_pallas (kernel, incl. epilogue)")
 
     epij = jax.jit(lambda o: cellmod.unpack(grid, cfg, o, scene.n, 0.0))
