@@ -55,14 +55,23 @@ _BIG = 1.0e9
 (_FX, _FY, _FZ, _FU, _FV, _FW, _FVOL, _FH, _FFLAGS) = range(9)
 _NF = 9
 _SENT = [_BIG, _BIG, _BIG, 0.0, 0.0, 0.0, 0.0, 1.0, -8.0]
+# 2D pack: no z, no w (identically zero) — 7 fields fit ONE (8, 128)
+# memory tile per dfT slot row, halving the stencil DMA tiles/bytes
+_SENT_2D = [_BIG, _BIG, 0.0, 0.0, 0.0, 1.0, -8.0]
+
+
+def sent_fields(two_d: bool):
+    return _SENT_2D if two_d else _SENT
 
 
 def pack_for_contact(scene, grid: CellGrid, cfg: CellGridConfig):
     """[NC_max, M, F] f32 query/source pack (sentinel lanes gate to
-    zero)."""
+    zero).  7 fields in 2D, 9 in 3D."""
     from .cellpairs import pack_fields
 
-    dense = pack_fields(grid, cfg, contact_payload(scene), _SENT)
+    two_d = cfg.dim == 2
+    dense = pack_fields(grid, cfg, contact_payload(scene, two_d),
+                        sent_fields(two_d))
     return dense.astype(jnp.float32)
 
 
@@ -83,8 +92,9 @@ _B = 16  # cells per kernel program (amortizes Mosaic grid-step dispatch:
 #         10^6 particles was pure dispatch+zero-write with 1 cell/program)
 
 
-def _kernel(S, M, O, cutoff, init_dist, kernel: Kernel, n_occ_ref, q_ref,
-            nbr_now, nbr_nxt, dft_hbm, out_ref, scratch, sems):
+def _kernel(S, M, O, cutoff, init_dist, kernel: Kernel, two_d,
+            n_occ_ref, q_ref, nbr_now, nbr_nxt, dft_hbm, out_ref,
+            scratch, sems):
     """One program per _B consecutive cell slots.  Each cell's 9/27
     stencil source blocks are DMA'd dfT[slot] -> VMEM with a 2-deep
     revolving buffer (cell g+1's copies start before cell g's compute,
@@ -127,111 +137,8 @@ def _kernel(S, M, O, cutoff, init_dist, kernel: Kernel, n_occ_ref, q_ref,
         # lanes carry sentinel values and are sliced away here
         sL = jnp.concatenate([scratch[buf, o][:, :M] for o in range(O)],
                              axis=1)  # [F, OM]
-
-        def qcol(f):
-            return qT[:, f:f + 1]         # [M, 1]
-
-        def srow(f):
-            return sL[f:f + 1, :]         # [1, OM]
-
-        # ---- pair geometry [M, OM] ----------------------------------------
-        xij = qcol(_FX) - srow(_FX)
-        yij = qcol(_FY) - srow(_FY)
-        zij = qcol(_FZ) - srow(_FZ)
-        rij = jnp.sqrt(xij * xij + yij * yij + zij * zij)
-        hij = 0.5 * (qcol(_FH) + srow(_FH))
-        wij = kernel.w(rij, hij)
-
-        s_dem, s_bdry, s_fluid, _ = _decode_flags(srow(_FFLAGS))
-        q_dem, _, _, q_rigid = _decode_flags(qcol(_FFLAGS))
-        gate = ((s_bdry == 1.0)
-                & (s_dem != q_dem)
-                & (s_fluid == 0.0)
-                & (q_rigid == 1.0)
-                & (rij <= cutoff))
-        rinv = 1.0 / jnp.maximum(rij, 1e-30)
-        t1 = jnp.where(gate, qcol(_FVOL) * rinv * wij, 0.0)
-        t2 = t1 * rij
-
-        # ---- slot sums: one MXU contraction -------------------------------
-        # direct per-pair quantities (like the XLA engine) — a factored
-        # sum(t*xij) = xq*sum(t) - sum(t*xs) form is ~25% cheaper but
-        # amplifies f32 cancellation on the near-zero normal components
-        oh_rows = [s_dem == float(s_id) for s_id in range(S)]  # [1, OM]
-        ohT = jnp.concatenate(
-            [jnp.where(m, 1.0, 0.0) for m in oh_rows], axis=0)  # [S, OM]
-        quant = jnp.concatenate(
-            [t1 * xij, t1 * yij, t1 * zij, t2,
-             t2 * xij, t2 * yij, t2 * zij], axis=0)  # [7M, OM]
-        # (measured: bf16-casting this contraction does not move the
-        # kernel time — it is VPU/copy-bound, not MXU-bound)
-        sums = jax.lax.dot_general(
-            quant, ohT,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [7M, S]
-        q0 = sums[0 * M:1 * M]                      # sum(t1*xij)
-        q1 = sums[1 * M:2 * M]                      # sum(t1*yij)
-        q2 = sums[2 * M:3 * M]                      # sum(t1*zij)
-        q3 = sums[3 * M:4 * M]                      # sum(t2)==sum(t1*rij)
-        q4 = sums[4 * M:5 * M]                      # sum(t2*xij)
-        q5 = sums[5 * M:6 * M]
-        q6 = sums[6 * M:7 * M]
-
-        # ---- closest source per slot ---------------------------------------
-        r_g = jnp.where(gate, rij, _BIG)  # [M, OM]
-        lane = jax.lax.broadcasted_iota(jnp.int32, r_g.shape, 1
-                                        ).astype(jnp.float32)
-        mins, min_b = [], jnp.full_like(r_g, _BIG)
-        for s_id, m in enumerate(oh_rows):
-            mn = jnp.min(jnp.where(m, r_g, _BIG), axis=1, keepdims=True)
-            mins.append(mn)
-            min_b = jnp.where(m, mn, min_b)  # [M, OM] select-accumulate
-        min_r = jnp.concatenate(mins, axis=1)  # [M, S]
-        pick = gate & (r_g <= min_b)
-        lane_b = jnp.zeros_like(r_g)
-        for m in oh_rows:
-            ls = jnp.min(jnp.where(pick & m, lane, _BIG), axis=1,
-                         keepdims=True)
-            lane_b = jnp.where(m, ls, lane_b)
-        pickf = jnp.where(pick & (lane == lane_b), 1.0, 0.0)
-
-        A = jnp.concatenate(
-            [srow(f) * ohT for f in (_FX, _FY, _FZ, _FU, _FV, _FW)],
-            axis=0)  # [6S, OM]
-        srcs = jax.lax.dot_general(
-            pickf, A, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [M, 6S]
-
-        # ---- epilogue, in-kernel ([M, S] vreg math) -----------------------
-        # Formerly an XLA pass over the [NC, M, 14S] output; inside one
-        # jit XLA's layout assignment put NC minor-most on the stacked
-        # intermediates and copied ~1.5 GB around the unpack gather —
-        # 111 ms at 1M vs ~15 ms for this same math here.
-        has = q3 > 1e-12
-        inv_w = jnp.where(has, 1.0 / jnp.maximum(q3, 1e-30), 0.0)
-        mx, my, mz = q0 * inv_w, q1 * inv_w, q2 * inv_w
-        mag = jnp.sqrt(mx * mx + my * my + mz * mz)
-        inv_m = jnp.where(has & (mag > 0),
-                          1.0 / jnp.maximum(mag, 1e-30), 0.0)
-        cfn_x, cfn_y, cfn_z = mx * inv_m, my * inv_m, mz * inv_m
-        num = cfn_x * q4 + cfn_y * q5 + cfn_z * q6
-        dist = jnp.where(has, num / jnp.where(has, q3, 1.0), 0.0)
-        # float mask (Mosaic cannot concatenate i1 vregs)
-        foundf = jnp.where(min_r < init_dist, 1.0, 0.0)
-        mind = jnp.minimum(min_r, init_dist)
-        srcs = srcs * jnp.concatenate([foundf] * 6, axis=1)
-
-        cols = jnp.concatenate(
-            [cfn_x, cfn_y, cfn_z, q3, dist, mind, srcs], axis=1)  # [M,12S]
-        W = 12 * S
-        Wp = -(-W // 128) * 128
-        if Wp != W:
-            # 128-align the output minor dim: misaligned VMEM->HBM block
-            # copy-out runs ~40x off bandwidth (measured 27 ms for the
-            # 1.16 GB [*, 108] output at 1M particles)
-            cols = jnp.concatenate(
-                [cols, jnp.zeros((M, Wp - W), jnp.float32)], axis=1)
-        return cols
+        return _pair_body(S, M, cutoff, init_dist, kernel, qT, sL,
+                          two_d=two_d)
 
     base = c * _B
     for b in range(_B):
@@ -255,6 +162,153 @@ def _kernel(S, M, O, cutoff, init_dist, kernel: Kernel, n_occ_ref, q_ref,
             out_ref[b] = compute(b)
 
 
+def _pair_body(S, M, cutoff, init_dist, kernel: Kernel, qT, sL,
+               two_d=False):
+    """The full per-cell pair computation, [M, OM] vreg math: geometry,
+    gates, Mofidi sums (MXU), closest-point pick, in-kernel epilogue.
+
+    ``two_d`` selects the 7-field pack (no z, no w — both identically
+    zero in 2D scenes): a dfT slot row is then ONE (8, 128) memory tile
+    instead of two, and the quantity/source contractions drop their
+    zero rows.  (A pair-entry stencil-table variant that halved the
+    per-cell DMA count by copying TWO consecutive slots per entry was
+    measured SLOWER at 1M — 69.6 vs 62.8 ms — because odd runs grow
+    the pair lanes 256 -> 384 and the DMA floor is per-cell
+    latency-bound, not per-copy; it was removed.)"""
+    if two_d:
+        (FX, FY, FU, FV, FVOL, FH, FFLAGS) = range(7)
+    else:
+        (FX, FY, FZ, FU, FV, FW, FVOL, FH, FFLAGS) = range(9)
+
+    def qcol(f):
+        return qT[:, f:f + 1]         # [M, 1]
+
+    def srow(f):
+        return sL[f:f + 1, :]         # [1, OM]
+
+    # ---- pair geometry [M, OM] ----------------------------------------
+    xij = qcol(FX) - srow(FX)
+    yij = qcol(FY) - srow(FY)
+    if two_d:
+        rij = jnp.sqrt(xij * xij + yij * yij)
+    else:
+        zij = qcol(FZ) - srow(FZ)
+        rij = jnp.sqrt(xij * xij + yij * yij + zij * zij)
+    hij = 0.5 * (qcol(FH) + srow(FH))
+    wij = kernel.w(rij, hij)
+
+    s_dem, s_bdry, s_fluid, _ = _decode_flags(srow(FFLAGS))
+    q_dem, _, _, q_rigid = _decode_flags(qcol(FFLAGS))
+    gate = ((s_bdry == 1.0)
+            & (s_dem != q_dem)
+            & (s_fluid == 0.0)
+            & (q_rigid == 1.0)
+            & (rij <= cutoff))
+    rinv = 1.0 / jnp.maximum(rij, 1e-30)
+    t1 = jnp.where(gate, qcol(FVOL) * rinv * wij, 0.0)
+    t2 = t1 * rij
+
+    # ---- slot sums: one MXU contraction -------------------------------
+    # direct per-pair quantities (like the XLA engine) — a factored
+    # sum(t*xij) = xq*sum(t) - sum(t*xs) form is ~25% cheaper but
+    # amplifies f32 cancellation on the near-zero normal components
+    oh_rows = [s_dem == float(s_id) for s_id in range(S)]  # [1, OM]
+    ohT = jnp.concatenate(
+        [jnp.where(m, 1.0, 0.0) for m in oh_rows], axis=0)  # [S, OM]
+    zcol = jnp.zeros((M, S), jnp.float32)
+    if two_d:
+        quant = jnp.concatenate(
+            [t1 * xij, t1 * yij, t2, t2 * xij, t2 * yij],
+            axis=0)  # [5M, OM]
+    else:
+        quant = jnp.concatenate(
+            [t1 * xij, t1 * yij, t1 * zij, t2,
+             t2 * xij, t2 * yij, t2 * zij], axis=0)  # [7M, OM]
+    # (measured: bf16-casting this contraction does not move the
+    # kernel time — it is VPU/copy-bound, not MXU-bound)
+    sums = jax.lax.dot_general(
+        quant, ohT,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [5M|7M, S]
+    if two_d:
+        q0 = sums[0 * M:1 * M]                  # sum(t1*xij)
+        q1 = sums[1 * M:2 * M]                  # sum(t1*yij)
+        q2 = zcol                               # sum(t1*zij) == 0
+        q3 = sums[2 * M:3 * M]                  # sum(t2)
+        q4 = sums[3 * M:4 * M]                  # sum(t2*xij)
+        q5 = sums[4 * M:5 * M]
+        q6 = zcol
+    else:
+        q0 = sums[0 * M:1 * M]                  # sum(t1*xij)
+        q1 = sums[1 * M:2 * M]                  # sum(t1*yij)
+        q2 = sums[2 * M:3 * M]                  # sum(t1*zij)
+        q3 = sums[3 * M:4 * M]                  # sum(t2)==sum(t1*rij)
+        q4 = sums[4 * M:5 * M]                  # sum(t2*xij)
+        q5 = sums[5 * M:6 * M]
+        q6 = sums[6 * M:7 * M]
+
+    # ---- closest source per slot ---------------------------------------
+    r_g = jnp.where(gate, rij, _BIG)  # [M, OM]
+    lane = jax.lax.broadcasted_iota(jnp.int32, r_g.shape, 1
+                                    ).astype(jnp.float32)
+    mins, min_b = [], jnp.full_like(r_g, _BIG)
+    for s_id, m in enumerate(oh_rows):
+        mn = jnp.min(jnp.where(m, r_g, _BIG), axis=1, keepdims=True)
+        mins.append(mn)
+        min_b = jnp.where(m, mn, min_b)  # [M, OM] select-accumulate
+    min_r = jnp.concatenate(mins, axis=1)  # [M, S]
+    pick = gate & (r_g <= min_b)
+    lane_b = jnp.zeros_like(r_g)
+    for m in oh_rows:
+        ls = jnp.min(jnp.where(pick & m, lane, _BIG), axis=1,
+                     keepdims=True)
+        lane_b = jnp.where(m, ls, lane_b)
+    pickf = jnp.where(pick & (lane == lane_b), 1.0, 0.0)
+
+    src_fields = (FX, FY, FU, FV) if two_d else (FX, FY, FZ, FU, FV, FW)
+    A = jnp.concatenate(
+        [srow(f) * ohT for f in src_fields], axis=0)  # [4S|6S, OM]
+    srcs = jax.lax.dot_general(
+        pickf, A, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [M, 4S|6S]
+    if two_d:
+        # z / w source picks are identically zero in 2D
+        srcs = jnp.concatenate(
+            [srcs[:, 0:S], srcs[:, S:2 * S], zcol,
+             srcs[:, 2 * S:3 * S], srcs[:, 3 * S:4 * S], zcol], axis=1)
+
+    # ---- epilogue, in-kernel ([M, S] vreg math) -----------------------
+    # Formerly an XLA pass over the [NC, M, 14S] output; inside one
+    # jit XLA's layout assignment put NC minor-most on the stacked
+    # intermediates and copied ~1.5 GB around the unpack gather —
+    # 111 ms at 1M vs ~15 ms for this same math here.
+    has = q3 > 1e-12
+    inv_w = jnp.where(has, 1.0 / jnp.maximum(q3, 1e-30), 0.0)
+    mx, my, mz = q0 * inv_w, q1 * inv_w, q2 * inv_w
+    mag = jnp.sqrt(mx * mx + my * my + mz * mz)
+    inv_m = jnp.where(has & (mag > 0),
+                      1.0 / jnp.maximum(mag, 1e-30), 0.0)
+    cfn_x, cfn_y, cfn_z = mx * inv_m, my * inv_m, mz * inv_m
+    num = cfn_x * q4 + cfn_y * q5 + cfn_z * q6
+    dist = jnp.where(has, num / jnp.where(has, q3, 1.0), 0.0)
+    # float mask (Mosaic cannot concatenate i1 vregs)
+    foundf = jnp.where(min_r < init_dist, 1.0, 0.0)
+    mind = jnp.minimum(min_r, init_dist)
+    srcs = srcs * jnp.concatenate([foundf] * 6, axis=1)
+
+    cols = jnp.concatenate(
+        [cfn_x, cfn_y, cfn_z, q3, dist, mind, srcs], axis=1)  # [M,12S]
+    W = 12 * S
+    Wp = -(-W // 128) * 128
+    if Wp != W:
+        # 128-align the output minor dim: misaligned VMEM->HBM block
+        # copy-out runs ~40x off bandwidth (measured 27 ms for the
+        # 1.16 GB [*, 108] output at 1M particles)
+        cols = jnp.concatenate(
+            [cols, jnp.zeros((M, Wp - W), jnp.float32)], axis=1)
+    return cols
+
+
 def contact_sums_pallas(src_l, n_occ, nbr_slots, cfg: CellGridConfig,
                         kernel: Kernel, S: int, init_dist: float = 0.0,
                         interpret: bool = False, sent_slot=None):
@@ -275,7 +329,7 @@ def contact_sums_pallas(src_l, n_occ, nbr_slots, cfg: CellGridConfig,
     M = cfg.M
     F = src_l.shape[1]
     kern = functools.partial(_kernel, S, M, O, cfg.radius,
-                             float(init_dist), kernel)
+                             float(init_dist), kernel, cfg.dim == 2)
     W = -(-12 * S // 128) * 128
     NCp = -(-NC // _B) * _B
     nprog = NCp // _B
@@ -323,7 +377,8 @@ def contact_sums_pallas(src_l, n_occ, nbr_slots, cfg: CellGridConfig,
         src_l = jnp.concatenate(
             [src_l,
              jnp.broadcast_to(
-                 jnp.asarray(_SENT, src_l.dtype)[None, :, None],
+                 jnp.asarray(sent_fields(cfg.dim == 2),
+                             src_l.dtype)[None, :, None],
                  (target - rows, F, 128))], axis=0)
     out = pl.pallas_call(
         kern,
@@ -346,11 +401,12 @@ def contact_pipeline_cell_pallas(scene, grid: CellGrid,
 
     df = pack_for_contact(scene, grid, cfg)            # [NC, M, F]
     NC, M, F = df.shape
-    sent = jnp.broadcast_to(jnp.asarray(_SENT, df.dtype), (M, F))[None]
+    sent_l = sent_fields(cfg.dim == 2)
+    sent = jnp.broadcast_to(jnp.asarray(sent_l, df.dtype), (M, F))[None]
     dfT = jnp.swapaxes(jnp.concatenate([df, sent], axis=0), 1, 2)
     if M < 128:  # Mosaic DMA slices must be 128-aligned in the minor dim
         pad = jnp.broadcast_to(
-            jnp.asarray(_SENT, df.dtype)[None, :, None],
+            jnp.asarray(sent_l, df.dtype)[None, :, None],
             (NC + 1, F, 128 - M))
         dfT = jnp.concatenate([dfT, pad], axis=2)
     # field-major [NC+1, F, 128]: the kernel DMAs one block per stencil
@@ -379,15 +435,19 @@ def _unpack_contact_out(out, grid, cfg, scene, S):
     return outp[:, 0], outp[:, 1], outp[:, 2], outp[:, 3], dinfo
 
 
-def contact_payload(scene):
-    """The 9 packed contact fields as per-particle [N] arrays (the
+def contact_payload(scene, two_d: bool = False):
+    """The packed contact fields as per-particle [N] arrays (the
     sorted-pack path carries these through the grid build's cell sort
-    — see ``cellpairs.build_cell_grid_packed``)."""
+    — see ``cellpairs.build_cell_grid_packed``).  2D scenes drop z and
+    w (identically zero there): 7 fields instead of 9."""
     fdt = scene.x.dtype
     flags = (scene.dem_id.astype(fdt) * 8.0
              + scene.contact_force_is_boundary * 4.0
              + scene.is_fluid.astype(fdt) * 2.0
              + scene.is_rigid.astype(fdt))
+    if two_d:
+        return [scene.x, scene.y, scene.u, scene.v,
+                scene.m / scene.rho, scene.h, flags]
     return [scene.x, scene.y, scene.z, scene.u, scene.v, scene.w,
             scene.m / scene.rho, scene.h, flags]
 
@@ -409,10 +469,11 @@ def contact_pipeline_sorted_pallas(scene, cfg: CellGridConfig,
     S = scene.meta.total_no_bodies
     init_dist = 4.0 * scene.meta.spacing0
 
-    payload = contact_payload(scene)
+    payload = contact_payload(scene, cfg.dim == 2)
     grid, pt = build_cell_grid_packed(scene.x, scene.y, scene.z,
                                       scene.active, cfg, payload)
-    dfT = pallas_pack.expand_dft_pallas(pt, grid.n_occupied, cfg, _SENT,
+    dfT = pallas_pack.expand_dft_pallas(pt, grid.n_occupied, cfg,
+                                        sent_fields(cfg.dim == 2),
                                         interpret=interpret)
     sent_slot = jnp.minimum(grid.n_occupied, cfg.NC_max)
     out = contact_sums_pallas(dfT, grid.n_occupied, grid.nbr_slots,

@@ -104,6 +104,8 @@ def expand_dft_pallas(pt: PackTables, n_occ, cfg: CellGridConfig,
     ``min(n_occ, NC)`` is always a valid all-sentinel row — callers remap
     missing-neighbor entries (== NC) there."""
     F = len(pt.sorted_fields)
+    if len(sentinels) != F:
+        raise ValueError(f"{len(sentinels)} sentinels for {F} fields")
     M = cfg.M
     NC = cfg.NC_max
     n = pt.sorted_fields[0].shape[0]
@@ -136,7 +138,7 @@ def expand_dft_pallas(pt: PackTables, n_occ, cfg: CellGridConfig,
     # cover every slot up to and including the sentinel row at n_occ
     n_occ_i = jnp.minimum(
         jnp.maximum(jnp.asarray(n_occ, jnp.int32), 0), NC)
-    nprog_dyn = n_occ_i // _BP + 1
+    nprog_dyn = jnp.minimum(n_occ_i // _BP + 1, nprog_static)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nprog_dyn,),

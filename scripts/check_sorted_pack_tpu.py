@@ -65,5 +65,35 @@ def main():
     timeit(new, scene, name="NEW pipeline (sorted pack fast path)")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("PHASES"):
     main()
+
+
+def phases():
+    import jax.numpy as jnp
+    from rigid_body_2d_3d_pysph_tpu.ops import pallas_pack as ppack
+
+    scheme, scene = build_scene()
+    kernel = get_kernel(scheme.kernel_name, scheme.dim)
+    cfg = scheme.cell_config(scene, kernel)
+    S = scene.meta.total_no_bodies
+    payload = [p.astype(jnp.float32)
+               for p in pcops.contact_payload(scene, cfg.dim == 2)]
+    buildp = jax.jit(lambda s: cellmod.build_cell_grid_packed(
+        s.x, s.y, s.z, s.active, cfg, payload))
+    grid, pt = timeit(buildp, scene, name="build_cell_grid_packed")
+    expand = jax.jit(lambda pt, no: ppack.expand_dft_pallas(
+        pt, no, cfg, pcops.sent_fields(cfg.dim == 2)))
+    dfT = timeit(expand, pt, grid.n_occupied, name="expand_dft_pallas")
+    init_dist = 4.0 * scene.meta.spacing0
+    sent_slot = jnp.minimum(grid.n_occupied, cfg.NC_max)
+    kern = jax.jit(lambda dfT, no, tbl, ss: pcops.contact_sums_pallas(
+        dfT, no, tbl, cfg, kernel, S, init_dist, sent_slot=ss))
+    out = timeit(kern, dfT, grid.n_occupied, grid.nbr_slots, sent_slot,
+                 name="contact_sums_pallas (sorted dfT)")
+    unp = jax.jit(lambda o: cellmod.unpack(grid, cfg, o, scene.n, 0.0))
+    timeit(unp, out, name="unpack")
+
+
+if __name__ == "__main__" and os.environ.get("PHASES"):
+    phases()

@@ -39,11 +39,11 @@ def main():
         s.x, s.y, s.z, s.active, cfg))(scene)
     df = jax.jit(lambda s, g: pcops.pack_for_contact(s, g, cfg))(scene, grid)
     NC, M, F = df.shape
-    sent = jnp.broadcast_to(jnp.asarray(pcops._SENT, df.dtype), (M, F))[None]
+    sent = jnp.broadcast_to(jnp.asarray(pcops.sent_fields(cfg.dim == 2), df.dtype), (M, F))[None]
     dfT = jnp.swapaxes(jnp.concatenate([df, sent], axis=0), 1, 2)
     if M < 128:
         pad = jnp.broadcast_to(
-            jnp.asarray(pcops._SENT, df.dtype)[None, :, None],
+            jnp.asarray(pcops.sent_fields(cfg.dim == 2), df.dtype)[None, :, None],
             (NC + 1, F, 128 - M))
         dfT = jnp.concatenate([dfT, pad], axis=2)
     out = jax.jit(lambda b, c, d: pcops.contact_sums_pallas(

@@ -54,11 +54,11 @@ def main():
 
     def dft_build(df):
         sent = jnp.broadcast_to(
-            jnp.asarray(pcops._SENT, df.dtype), (M, F))[None]
+            jnp.asarray(pcops.sent_fields(cfg.dim == 2), df.dtype), (M, F))[None]
         dfT = jnp.swapaxes(jnp.concatenate([df, sent], axis=0), 1, 2)
         if M < 128:
             pad = jnp.broadcast_to(
-                jnp.asarray(pcops._SENT, df.dtype)[None, :, None],
+                jnp.asarray(pcops.sent_fields(cfg.dim == 2), df.dtype)[None, :, None],
                 (NC + 1, F, 128 - M))
             dfT = jnp.concatenate([dfT, pad], axis=2)
         return dfT

@@ -33,7 +33,7 @@ def test_packed_grid_matches_plain_build():
     scene, dx = _scene_f32()
     cfg = _cfg(scene, dx)
     payload = [p.astype(jnp.float32)
-               for p in pcops.contact_payload(scene)]
+               for p in pcops.contact_payload(scene, True)]
 
     @jax.jit
     def run(scene):
@@ -76,14 +76,14 @@ def test_expand_dft_matches_xla_pack():
 
     @jax.jit
     def run(scene):
-        payload = pcops.contact_payload(scene)
+        payload = pcops.contact_payload(scene, True)
         grid0 = cellmod.build_cell_grid(scene.x, scene.y, scene.z,
                                         scene.active, cfg)
         df = pcops.pack_for_contact(scene, grid0, cfg)
         grid, pt = cellmod.build_cell_grid_packed(
             scene.x, scene.y, scene.z, scene.active, cfg, payload)
         dfT = ppack.expand_dft_pallas(pt, grid.n_occupied, cfg,
-                                      pcops._SENT, interpret=True)
+                                      pcops.sent_fields(True), interpret=True)
         return grid.n_occupied, df, dfT
 
     n_occ, df, dfT = run(scene)
@@ -95,7 +95,7 @@ def test_expand_dft_matches_xla_pack():
     got = np.swapaxes(dfT[:n_occ, :, :M], 1, 2)
     np.testing.assert_array_equal(got, df[:n_occ])
     # the sentinel row at n_occ is all-sentinel
-    sent = np.asarray(pcops._SENT, np.float32)
+    sent = np.asarray(pcops.sent_fields(True), np.float32)
     np.testing.assert_array_equal(
         dfT[n_occ], np.broadcast_to(sent[:, None], dfT[n_occ].shape))
 
