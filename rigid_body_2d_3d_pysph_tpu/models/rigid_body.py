@@ -37,6 +37,12 @@ from ..ops import cellpairs as cellmod
 from ..ops import contact as cops
 from ..ops import contact_cell as ccops
 from ..ops import rigid as rops
+
+# Batched 3x3 body-math einsums must run at HIGHEST precision: XLA
+# lowers DEFAULT f32 batched matmuls through the MXU with operands
+# truncated to bf16 (measured 2.4e-2 maxerr on O(1) rotation products;
+# mat-vec takes an exact VPU path).  B is tiny, so the cost is nil.
+_PREC_EXACT = jax.lax.Precision.HIGHEST
 from ..ops import neighbors as nbmod
 from ..ops.kernels import get_kernel
 from ..state import rigid_setup
@@ -307,7 +313,8 @@ def _body_half_kick(scene, dt, two_d):
     vcm = scene.vcm + 0.5 * dt * scene.force / M
     ang_mom = scene.ang_mom + 0.5 * dt * scene.torque
     omega = jnp.einsum("bij,bj->bi",
-                       scene.inertia_tensor_inverse_global_frame, ang_mom)
+                       scene.inertia_tensor_inverse_global_frame, ang_mom,
+                       precision=_PREC_EXACT)
     return scene.replace(vcm=vcm, ang_mom=ang_mom, omega=omega)
 
 
@@ -320,13 +327,15 @@ def _body_drift(scene, dt, two_d):
     else:
         xcm = scene.xcm + dt * scene.vcm
     Om = rops.omega_cross_matrix(scene.omega)
-    R = scene.R + dt * jnp.einsum("bij,bjk->bik", Om, scene.R)
+    R = scene.R + dt * jnp.einsum("bij,bjk->bik", Om, scene.R,
+                                  precision=_PREC_EXACT)
     R = rops.gram_schmidt_columns(R)
     out = dict(xcm=xcm, R=R)
     if not two_d:
         out["inertia_tensor_inverse_global_frame"] = jnp.einsum(
             "bij,bjk,blk->bil", R,
-            scene.inertia_tensor_inverse_body_frame, R)
+            scene.inertia_tensor_inverse_body_frame, R,
+            precision=_PREC_EXACT)
     return scene.replace(**out)
 
 
@@ -615,7 +624,8 @@ def _rk2_body_stage(scene, frac_dt, two_d):
         vcm = scene.vcm0 + frac_dt * scene.force / M
         xcm = scene.xcm0 + frac_dt * scene.vcm
     Om = rops.omega_cross_matrix(scene.omega)
-    R = scene.R0 + frac_dt * jnp.einsum("bij,bjk->bik", Om, scene.R)
+    R = scene.R0 + frac_dt * jnp.einsum("bij,bjk->bik", Om, scene.R,
+                                        precision=_PREC_EXACT)
     R = rops.gram_schmidt_columns(R)
     out = dict(xcm=xcm, vcm=vcm, R=R)
     if two_d:
@@ -624,7 +634,8 @@ def _rk2_body_stage(scene, frac_dt, two_d):
             scene.omega0[:, 2] + frac_dt * scene.torque[:, 2] / izz)
     else:
         Iinv = jnp.einsum("bij,bjk,blk->bil", R,
-                          scene.inertia_tensor_inverse_body_frame, R)
+                          scene.inertia_tensor_inverse_body_frame, R,
+                          precision=_PREC_EXACT)
         ang_mom = scene.ang_mom0 + frac_dt * scene.torque
         out["inertia_tensor_inverse_global_frame"] = Iinv
         out["ang_mom"] = ang_mom
@@ -673,9 +684,11 @@ def _leapfrog_body_stage(scene, frac_dt):
     vcm = scene.vcm0 + frac_dt * scene.force / M
     Om = rops.omega_cross_matrix(scene.omega)
     R = rops.gram_schmidt_columns(
-        scene.R0 + frac_dt * jnp.einsum("bij,bjk->bik", Om, scene.R))
+        scene.R0 + frac_dt * jnp.einsum("bij,bjk->bik", Om, scene.R,
+                                        precision=_PREC_EXACT))
     Iinv = jnp.einsum("bij,bjk,blk->bil", R,
-                      scene.inertia_tensor_inverse_body_frame, R)
+                      scene.inertia_tensor_inverse_body_frame, R,
+                      precision=_PREC_EXACT)
     ang_mom = scene.ang_mom0 + frac_dt * scene.torque
     omega = jnp.einsum("bij,bj->bi", Iinv, ang_mom)
     return scene.replace(xcm=xcm, vcm=vcm, R=R, ang_mom=ang_mom,

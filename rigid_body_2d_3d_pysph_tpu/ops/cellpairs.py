@@ -486,7 +486,15 @@ def unpack(grid: CellGrid, cfg: CellGridConfig, dense, n: int, fill=0.0):
     epilogue at 1M particles on v5e."""
     flat = dense.reshape((cfg.NC_max * cfg.M,) + dense.shape[2:])
     flat = jax.lax.optimization_barrier(flat)
-    return flat.at[grid.dense_pos].get(mode="fill", fill_value=fill)
+    out = flat.at[grid.dense_pos].get(mode="fill", fill_value=fill)
+    # barrier the RESULT too: fusing a reshape/slice into this fill-mode
+    # gather miscompiles on v5e (observed on the 3D fused engine's
+    # [NC*M, 108] unpack: every row came out as fill once the caller
+    # reshaped [n, 108] -> [n, S, 12]; scripts/dbg_unpack_reshape.py
+    # isolates it — reshape-after-gather wrong, barrier-then-reshape
+    # exact).  The barrier pins the gather's own layout so downstream
+    # reshapes cannot fuse into it.
+    return jax.lax.optimization_barrier(out)
 
 
 def map_over_cells(cfg: CellGridConfig, fn, *dense_args):

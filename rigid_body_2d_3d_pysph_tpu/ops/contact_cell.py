@@ -22,6 +22,16 @@ from .kernels import Kernel
 
 _BIG = 1.0e9
 
+# SELECTION einsums (one-hot pick / broadcast of f32 data) must run at
+# HIGHEST precision on TPU: DEFAULT truncates the DATA operand to bf16
+# before the MXU pass, which (a) rounds picked source positions and
+# (b) corrupts lane-index tie-breaks once O*M > 256 (bf16 integers are
+# exact only to 256 — the 3D spill grid has O*M = 2816 lanes).  The
+# ACCUMULATION sums stay at DEFAULT, bit-matching the Pallas kernel's
+# DEFAULT dots (scripts/exp_spill3d.py verifies cross-engine
+# bit-parity on v5e).
+_EXACT = jax.lax.Precision.HIGHEST
+
 # packed f32 field order
 _FX, _FY, _FZ, _FU, _FV, _FW, _FM, _FRHO, _FH, _FCFIB = range(10)
 # packed i32 field order
@@ -155,7 +165,8 @@ def contact_distance_cell(scene, grid: CellGrid, cfg: CellGridConfig,
             found = (r_star < init_dist)[..., None]
             mind.append(jnp.minimum(r_star, init_dist))
             picked = jnp.einsum("cmk,ckf->cmf", sel, src6,
-                                preferred_element_type=tmp.dtype)
+                                preferred_element_type=tmp.dtype,
+                                precision=_EXACT)
             srcs.append(jnp.where(found, picked, 0.0))
         return (num, den, jnp.stack(mind, -1),
                 jnp.stack(srcs, 2))  # [C,M,S], ..., [C,M,S,6]
@@ -256,7 +267,8 @@ def contact_sums_fused(scene, grid: CellGrid, cfg: CellGridConfig,
         # broadcast each lane's slot-min back to the lane (one-hot matmul;
         # sentinel lanes have all-zero one-hot -> min_b = 0 != r_g)
         min_b = jnp.einsum("cms,cks->cmk", min_r, oh,
-                           preferred_element_type=t1.dtype)
+                           preferred_element_type=t1.dtype,
+                           precision=_EXACT)
         pick = gate & (r_g <= min_b)
         # ties (equal r within a slot): keep the lowest lane, like the
         # reference's sequential scan (:811-818).  The tie-break must be
@@ -268,7 +280,8 @@ def contact_sums_fused(scene, grid: CellGrid, cfg: CellGridConfig,
                              axis=-1) for s_id in range(S)]
         lane_sel = jnp.stack(lane_mins, axis=-1)  # [C, M, S]
         lane_b = jnp.einsum("cms,cks->cmk", lane_sel, oh,
-                            preferred_element_type=t1.dtype)
+                            preferred_element_type=t1.dtype,
+                            precision=_EXACT)
         pickf = (pick & (lane == lane_b)).astype(t1.dtype)  # [C, M, OM]
 
         src6 = jnp.stack([s[..., _FX], s[..., _FY], s[..., _FZ],
@@ -277,7 +290,8 @@ def contact_sums_fused(scene, grid: CellGrid, cfg: CellGridConfig,
         A = (oh[:, :, :, None] * src6[:, :, None, :]).reshape(
             C, O * M, S * 6)  # slot-separated source fields
         srcs = jnp.einsum("cmk,ckq->cmq", pickf, A,
-                          preferred_element_type=t1.dtype
+                          preferred_element_type=t1.dtype,
+                          precision=_EXACT
                           ).reshape(C, M, S, 6)
         return sums, min_r, srcs
 

@@ -43,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .cellpairs import CellGrid, CellGridConfig, gather_source_block
+from .pallas_exact import dot_data_onehot
 from .kernels import Kernel
 
 _BIG = 1.0e9
@@ -130,9 +131,9 @@ def _kernel(S, M, O, cutoff, init_dist, kernel: Kernel, two_d,
             pltpu.make_async_copy(
                 dft_hbm.at[nbr_now[b, o]], scratch.at[buf, o],
                 sems.at[buf, o]).wait()
-        qT = jax.lax.dot_general(
-            isel, q_ref[b], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [M, F], exact copy
+        qT = dot_data_onehot(
+            q_ref[b], isel, (((1,), (1,)), ((), ())),
+            data_is_lhs=False)  # [M, F], exact copy
         # blocks are DMA'd with 128 lanes (Mosaic alignment); the pad
         # lanes carry sentinel values and are sliced away here
         sL = jnp.concatenate([scratch[buf, o][:, :M] for o in range(O)],
@@ -217,35 +218,31 @@ def _pair_body(S, M, cutoff, init_dist, kernel: Kernel, qT, sL,
         [jnp.where(m, 1.0, 0.0) for m in oh_rows], axis=0)  # [S, OM]
     zcol = jnp.zeros((M, S), jnp.float32)
     if two_d:
-        quant = jnp.concatenate(
-            [t1 * xij, t1 * yij, t2, t2 * xij, t2 * yij],
-            axis=0)  # [5M, OM]
+        quants = [t1 * xij, t1 * yij, t2, t2 * xij, t2 * yij]
     else:
-        quant = jnp.concatenate(
-            [t1 * xij, t1 * yij, t1 * zij, t2,
-             t2 * xij, t2 * yij, t2 * zij], axis=0)  # [7M, OM]
-    # (measured: bf16-casting this contraction does not move the
-    # kernel time — it is VPU/copy-bound, not MXU-bound)
-    sums = jax.lax.dot_general(
-        quant, ohT,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [5M|7M, S]
+        quants = [t1 * xij, t1 * yij, t1 * zij, t2,
+                  t2 * xij, t2 * yij, t2 * zij]
+    # These ACCUMULATION dots run at DEFAULT MXU precision (bf16
+    # operands, f32 accumulate) — deliberately: the XLA cell engine's
+    # one-hot sum einsums also run at DEFAULT, and the two lowerings
+    # are bit-identical (verified on v5e: scripts/exp_spill3d.py
+    # reports cfn_*/dist bit-parity), so DEFAULT-on-both keeps the
+    # engines exactly comparable.  Physics-wise the bf16 operand
+    # rounding is inside every validation gate (oracle rebound <2%,
+    # Zhang RMS).  Only SELECTION dots (qT copy, closest-source pick,
+    # pack placement) need pallas_exact.dot_data_onehot — there
+    # bf16-rounding corrupts the picked values themselves.
+    qs = [jax.lax.dot_general(q, ohT,
+                              dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+          for q in quants]  # each [M, S]
     if two_d:
-        q0 = sums[0 * M:1 * M]                  # sum(t1*xij)
-        q1 = sums[1 * M:2 * M]                  # sum(t1*yij)
+        q0, q1, q3, q4, q5 = qs                 # sum(t1*xij), ...
         q2 = zcol                               # sum(t1*zij) == 0
-        q3 = sums[2 * M:3 * M]                  # sum(t2)
-        q4 = sums[3 * M:4 * M]                  # sum(t2*xij)
-        q5 = sums[4 * M:5 * M]
         q6 = zcol
     else:
-        q0 = sums[0 * M:1 * M]                  # sum(t1*xij)
-        q1 = sums[1 * M:2 * M]                  # sum(t1*yij)
-        q2 = sums[2 * M:3 * M]                  # sum(t1*zij)
-        q3 = sums[3 * M:4 * M]                  # sum(t2)==sum(t1*rij)
-        q4 = sums[4 * M:5 * M]                  # sum(t2*xij)
-        q5 = sums[5 * M:6 * M]
-        q6 = sums[6 * M:7 * M]
+        q0, q1, q2, q3, q4, q5, q6 = qs
+    # q3 = sum(t2) == sum(t1*rij) (wij-norm == distance denominator)
 
     # ---- closest source per slot ---------------------------------------
     r_g = jnp.where(gate, rij, _BIG)  # [M, OM]
@@ -268,9 +265,9 @@ def _pair_body(S, M, cutoff, init_dist, kernel: Kernel, qT, sL,
     src_fields = (FX, FY, FU, FV) if two_d else (FX, FY, FZ, FU, FV, FW)
     A = jnp.concatenate(
         [srow(f) * ohT for f in src_fields], axis=0)  # [4S|6S, OM]
-    srcs = jax.lax.dot_general(
-        pickf, A, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [M, 4S|6S]
+    srcs = dot_data_onehot(
+        A, pickf, (((1,), (1,)), ((), ())),
+        data_is_lhs=False)  # [M, 4S|6S]
     if two_d:
         # z / w source picks are identically zero in 2D
         srcs = jnp.concatenate(

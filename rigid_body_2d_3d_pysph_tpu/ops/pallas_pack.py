@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .cellpairs import CellGridConfig, PackTables
+from .pallas_exact import dot_data_onehot
 
 _BP = 64  # slots per program (amortizes Mosaic dispatch, bounds W;
 #           measured at 1M: 16 -> 5.1 ms, 32 -> 5.5, 64 -> 4.6, 128 -> 4.9,
@@ -82,9 +83,12 @@ def _expand_kernel(F, M, W, sent, n_occ_ref, tbl_now, tbl_nxt,
     validf = jnp.concatenate(vals, axis=1)               # [1, BP*M]
     iw = jax.lax.broadcasted_iota(jnp.int32, (W, _BP * M), 0)
     P = jnp.where((iw == tgt) & (validf > 0.0), 1.0, 0.0)  # [W, BP*M]
-    placed = jax.lax.dot_general(
-        win, P, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [F, BP*M]
+    # exact one-hot placement: Mosaic's DEFAULT MXU pass truncates win
+    # to bf16 when F > 8 sublanes (observed: 3D's 9-field pack came out
+    # bf16-rounded while 2D's 7-field pack was exact) — see
+    # ops/pallas_exact.py
+    placed = dot_data_onehot(
+        win, P, (((1,), (0,)), ((), ())))                # [F, BP*M]
     # per-field sentinel column from scalar literals (Pallas kernels
     # cannot close over array constants)
     sent_col = jnp.concatenate(

@@ -29,8 +29,13 @@ def gather_body_rows(arr, bid, nb: int, valid=None):
         oh = oh & valid[:, None]
     ohf = oh.astype(arr.dtype)
     flat = arr.reshape(nb, -1)
+    # HIGHEST precision is required for the exactness promise above:
+    # DEFAULT truncates the data operand to bf16 on the TPU MXU
+    # (measured: rounds gathered xcm/R values; HIGHEST is exact AND
+    # faster at 1M — scripts/dbg_body_gather_prec.py).
     out = jnp.einsum("nb,bf->nf", ohf, flat,
-                     preferred_element_type=arr.dtype)
+                     preferred_element_type=arr.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
     return out.reshape((n,) + arr.shape[1:])
 
 
@@ -73,8 +78,14 @@ def sum_up_external_forces(scene, fx, fy, fz):
     oh = ((bid[:, None] == jnp.arange(nb)[None, :]) & rigid[:, None]
           ).astype(fx.dtype)  # [N, B]
     vec = jnp.stack([fx, fy, fz, tx, ty, tz], axis=-1)  # [N, 6]
+    # HIGHEST precision: DEFAULT bf16-truncates the force operand, and
+    # force/torque sums over a settled body cancel almost exactly —
+    # measured 17% relative error on cancelling sums at DEFAULT vs 5e-5
+    # (f32 reassociation level) at HIGHEST, which is also FASTER at 1M
+    # (scripts/dbg_body_gather_prec.py).
     tot = jnp.einsum("nb,nc->bc", oh, vec,
-                     preferred_element_type=vec.dtype)
+                     preferred_element_type=vec.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
     return tot[:, :3], tot[:, 3:]
 
 
