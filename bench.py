@@ -224,9 +224,13 @@ if __name__ == "__main__":
 
     r = measure(N_STEPS)
 
-    # CPU baseline in a subprocess (same code, XLA CPU on all host cores)
+    # CPU baseline in a subprocess (same code, XLA CPU on all host cores).
+    # BENCH_SKIP_CPU=1 skips it (the 3D/1M baselines take tens of minutes
+    # on a 1-core host; vs_baseline comes out null).
     vs = None
     try:
+        if os.environ.get("BENCH_SKIP_CPU"):
+            raise RuntimeError("skipped")
         env = dict(os.environ, RB_TPU_PLATFORM="cpu")
         env.setdefault("BENCH_ENGINE", "cell")
         out = subprocess.run(

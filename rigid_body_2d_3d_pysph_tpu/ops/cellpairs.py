@@ -123,9 +123,13 @@ def config_from_positions(x, y, z, cutoff: float, dim: int,
     uniq, counts = np.unique(cells, axis=0, return_counts=True)
     occ = counts.max()
     if spill is None:
-        # spill mode wins when worst-cell occupancy would force wide
-        # lanes; in 3D the mean occupancy already fills wide lanes
-        spill = (dim == 2) and M is None and sub == 1
+        # spill mode wins whenever worst-cell occupancy would force
+        # wide lanes.  Measured on v5e (scripts/exp_spill3d.py @146k,
+        # 27-stencil): spill+sorted-pack 65.6 ms vs classic M=104
+        # 75.6 ms — the classic 3D grid's wide lanes run ~60%
+        # utilization while spill keeps ~91% at M=16, so spill is the
+        # default in both 2D and 3D.
+        spill = M is None and sub == 1
     if spill:
         if M is None:
             M = 16  # fixed lane width; occupancy growth costs SLOTS
@@ -203,6 +207,30 @@ def _cell_keys(x, y, z, active, cfg: CellGridConfig):
     return key, dom_overflow, G
 
 
+def _stencil_rows(table, qcells, stencil, dims, G, sentinel):
+    """``table[q + off]`` for every stencil offset as ONE wide row
+    gather.
+
+    v5e row gathers cost ~14 ns per ROW nearly independent of row
+    width, so O separate [NC]-element gathers (one per stencil offset)
+    are ~O x the price of a single [NC]-row gather of O-wide rows.
+    Build the O shifted views of ``table`` as slices of a
+    sentinel-padded copy (sequential, bandwidth-bound), stack them
+    [G, O], and gather the query cells' rows once.  ``qcells == G``
+    rows (padding) come out all-sentinel."""
+    gx, gy, gz = dims
+    offs = [dx_ + gx * (dy_ + gy * dz_) for (dx_, dy_, dz_) in stencil]
+    maxoff = max(abs(o) for o in offs)
+    pad_lo = jnp.full((maxoff,), sentinel, jnp.int32)
+    pad_hi = jnp.full((maxoff,), sentinel, jnp.int32)
+    tp = jnp.concatenate([pad_lo, table.astype(jnp.int32), pad_hi])
+    D = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(tp, maxoff + off, G) for off in offs],
+        axis=1)                                          # [G, O]
+    rows = D.at[jnp.clip(qcells, 0, G - 1)].get(mode="clip")  # [NC, O]
+    return jnp.where((qcells < G)[:, None], rows, sentinel)
+
+
 def build_cell_grid(x, y, z, active, cfg: CellGridConfig) -> CellGrid:
     n = x.shape[0]
     gx, gy, gz = cfg.dims
@@ -262,17 +290,13 @@ def build_cell_grid(x, y, z, active, cfg: CellGridConfig) -> CellGrid:
         jnp.where(cell_cid >= 0, cell_cid, G)].set(
             slot_iota, mode="drop")[:G]
 
-    # neighbor slots per occupied cell: direct lookups
-    offs = []
-    for (dx_, dy_, dz_) in cfg.stencil:
-        off = dx_ + gx * (dy_ + gy * dz_)
-        q = cell_cid + off
-        # cells on the domain boundary ring are excluded above, so the
-        # offset arithmetic never wraps rows
-        q = jnp.where((cell_cid >= 0) & (q >= 0) & (q < G), q, G)
-        offs.append(jnp.where(q < G, cell2slot[jnp.clip(q, 0, G - 1)],
-                              cfg.NC_max))
-    nbr_slots = jnp.stack(offs, axis=1)
+    # neighbor slots per occupied cell: direct lookups.  One [NC]-row
+    # wide gather through shifted slices instead of O gathers — see
+    # _stencil_rows (cells on the domain boundary ring are excluded, so
+    # the offset arithmetic never wraps rows).
+    qcells = jnp.where(cell_cid >= 0, cell_cid, G)
+    nbr_slots = _stencil_rows(cell2slot, qcells, cfg.stencil,
+                              (gx, gy, gz), G, jnp.int32(cfg.NC_max))
 
     return CellGrid(slot2p=slot2p, dense_pos=dense_pos,
                     nbr_slots=nbr_slots, n_occupied=n_occ,
@@ -355,19 +379,16 @@ def _finish_spill_grid(cfg: CellGridConfig, n, G, ks, order, valid_s,
     packed = jnp.full(G + 1, NC * SH, jnp.int32).at[occ_cid].set(
         occ_base * SH + jnp.minimum(occ_nsl, SH - 1), mode="drop")[:G]
 
-    # packed per-CELL stencil table [NC, O_p]
-    nb_base, nb_nsl = [], []
-    for (dx_, dy_, dz_) in stencil:
-        off = dx_ + gx * (dy_ + gy * dz_)
-        q = occ_cid + off
-        q = jnp.where((occ_cid < G) & (q >= 0) & (q < G), q, G)
-        qc = jnp.clip(q, 0, G - 1)
-        ok = q < G
-        pv = jnp.where(ok, packed[qc], NC * SH)
-        nb_base.append(pv // SH)
-        nb_nsl.append(pv % SH)
-    nb_base = jnp.stack(nb_base, axis=1)                 # [NC, O9]
-    nb_nsl = jnp.stack(nb_nsl, axis=1)
+    # packed per-CELL stencil table [NC, O9].  v5e row gathers are
+    # LATENCY-bound (~14 ns/row independent of row width), so one
+    # gather of [NC] O9-wide rows beats O9 gathers of [NC] scalar rows
+    # ~O9-fold (~8 ms -> ~1 ms at 1M/2D).  Build the shifted views
+    # packed[g + off] as sentinel-padded SLICES (bandwidth-bound),
+    # stack, gather once at the occupied cells.
+    pv_all = _stencil_rows(packed, occ_cid, stencil, (gx, gy, gz), G,
+                           jnp.int32(NC * SH))            # [NC, O9]
+    nb_base = pv_all // SH
+    nb_nsl = pv_all % SH
     pos = jnp.cumsum(nb_nsl, axis=1) - nb_nsl            # exclusive
     spill_ovf = jnp.any(pos[:, -1] + nb_nsl[:, -1] > O_p)
 
