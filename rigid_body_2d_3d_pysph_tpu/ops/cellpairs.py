@@ -183,6 +183,7 @@ class PackTables(NamedTuple):
     base: jax.Array        # [NC_max] sorted index of slot's first lane
     cnt: jax.Array         # [NC_max] valid lanes in slot (0 for empty)
     n_valid: jax.Array     # scalar int32: active in-domain particles
+    slot_cid: jax.Array    # [NC_max] linear cell id per slot (G empty)
 
 
 def _cell_keys(x, y, z, active, cfg: CellGridConfig):
@@ -439,7 +440,11 @@ def _finish_spill_grid(cfg: CellGridConfig, n, G, ks, order, valid_s,
     # (keeps the pack kernel's window-monotonicity invariant)
     base_slot = jnp.where(valid_slot, base_slot, n_valid)
     cnt_slot = jnp.where(valid_slot, cnt_slot, 0)
-    return grid, (base_slot, cnt_slot, n_valid)
+    # per-slot linear cell id (for the interest-culling tables):
+    # occ_cid is ascending over compacted cells, so the cummax expand
+    # is exact; empty tail slots get the G sentinel
+    slot_cid = jnp.where(valid_slot, cell2slot_expand(occ_cid), G)
+    return grid, (base_slot, cnt_slot, n_valid, slot_cid)
 
 
 def build_cell_grid_packed(x, y, z, active, cfg: CellGridConfig, payload):
@@ -467,9 +472,9 @@ def build_cell_grid_packed(x, y, z, active, cfg: CellGridConfig, payload):
         [jnp.ones(1, bool), ks[1:] != ks[:-1]])
     grid, pack = _finish_spill_grid(cfg, n, G, ks, order, valid_s, head,
                                     idx, dom_overflow, want_pack=True)
-    base, cnt, n_valid = pack
+    base, cnt, n_valid, slot_cid = pack
     return grid, PackTables(sorted_fields=sorted_fields, base=base,
-                            cnt=cnt, n_valid=n_valid)
+                            cnt=cnt, n_valid=n_valid, slot_cid=slot_cid)
 
 
 # ---------------------------------------------------------------------------

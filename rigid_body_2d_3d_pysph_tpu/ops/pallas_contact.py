@@ -125,15 +125,22 @@ def _kernel(S, M, O, cutoff, init_dist, kernel: Kernel, two_d,
     def _():
         start_dmas(0, nbr_now, 0)
 
+    # exact query transpose for ALL _B cells in ONE 3-pass one-hot dot
+    # ([M, 128] x [128, _B*F] -> [M, _B*F]): per-cell dots cost ~48
+    # Mosaic MXU ops per program; batched it is 3.
+    F = q_ref.shape[1]
+    q_all = q_ref[...].reshape(_B * F, 128)
+    qT_all = dot_data_onehot(
+        q_all, isel, (((1,), (1,)), ((), ())),
+        data_is_lhs=False)  # [M, _B*F], exact copy
+
     def compute(b):
         buf = b % 2
         for o in range(O):
             pltpu.make_async_copy(
                 dft_hbm.at[nbr_now[b, o]], scratch.at[buf, o],
                 sems.at[buf, o]).wait()
-        qT = dot_data_onehot(
-            q_ref[b], isel, (((1,), (1,)), ((), ())),
-            data_is_lhs=False)  # [M, F], exact copy
+        qT = qT_all[:, b * F:(b + 1) * F]  # [M, F]
         # blocks are DMA'd with 128 lanes (Mosaic alignment); the pad
         # lanes carry sentinel values and are sliced away here
         sL = jnp.concatenate([scratch[buf, o][:, :M] for o in range(O)],
@@ -222,7 +229,7 @@ def _pair_body(S, M, cutoff, init_dist, kernel: Kernel, qT, sL,
     else:
         quants = [t1 * xij, t1 * yij, t1 * zij, t2,
                   t2 * xij, t2 * yij, t2 * zij]
-    # These ACCUMULATION dots run at DEFAULT MXU precision (bf16
+    # This ACCUMULATION dot runs at DEFAULT MXU precision (bf16
     # operands, f32 accumulate) — deliberately: the XLA cell engine's
     # one-hot sum einsums also run at DEFAULT, and the two lowerings
     # are bit-identical (verified on v5e: scripts/exp_spill3d.py
@@ -232,10 +239,11 @@ def _pair_body(S, M, cutoff, init_dist, kernel: Kernel, qT, sL,
     # Zhang RMS).  Only SELECTION dots (qT copy, closest-source pick,
     # pack placement) need pallas_exact.dot_data_onehot — there
     # bf16-rounding corrupts the picked values themselves.
-    qs = [jax.lax.dot_general(q, ohT,
-                              dimension_numbers=(((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-          for q in quants]  # each [M, S]
+    quant = jnp.concatenate(quants, axis=0)     # [5M|7M, OM]
+    sums = jax.lax.dot_general(
+        quant, ohT, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)     # [5M|7M, S]
+    qs = [sums[i * M:(i + 1) * M] for i in range(len(quants))]
     if two_d:
         q0, q1, q3, q4, q5 = qs                 # sum(t1*xij), ...
         q2 = zcol                               # sum(t1*zij) == 0
@@ -308,7 +316,8 @@ def _pair_body(S, M, cutoff, init_dist, kernel: Kernel, qT, sL,
 
 def contact_sums_pallas(src_l, n_occ, nbr_slots, cfg: CellGridConfig,
                         kernel: Kernel, S: int, init_dist: float = 0.0,
-                        interpret: bool = False, sent_slot=None):
+                        interpret: bool = False, sent_slot=None,
+                        q_rows=None):
     """Finalized per-slot contact fields for every cell: [NC, M, Wp] f32
     — (cfn_x, cfn_y, cfn_z, wij-sum, contact dist, closest dist, 6 source
     picks), each an [NC, M, S] block along the last axis; Wp is 12S
@@ -368,21 +377,27 @@ def contact_sums_pallas(src_l, n_occ, nbr_slots, cfg: CellGridConfig,
             [slots, jnp.broadcast_to(jnp.asarray(sent_slot, jnp.int32),
                                      (NCp - NC, O))], axis=0)
     # query BlockSpec needs >= NCp rows, a multiple of the block batch
-    rows = src_l.shape[0]
-    target = max(NCp, -(-rows // _B) * _B)
-    if rows < target:
-        src_l = jnp.concatenate(
-            [src_l,
-             jnp.broadcast_to(
-                 jnp.asarray(sent_fields(cfg.dim == 2),
-                             src_l.dtype)[None, :, None],
-                 (target - rows, F, 128))], axis=0)
+    # (q_rows: the interest-culled path passes COMPACTED query rows
+    # while the stencil DMAs still address the full dfT)
+    def pad_rows(a):
+        rows = a.shape[0]
+        target = max(NCp, -(-rows // _B) * _B)
+        if rows < target:
+            a = jnp.concatenate(
+                [a,
+                 jnp.broadcast_to(
+                     jnp.asarray(sent_fields(cfg.dim == 2),
+                                 a.dtype)[None, :, None],
+                     (target - rows, F, 128))], axis=0)
+        return a
+
+    q = pad_rows(src_l if q_rows is None else q_rows)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NCp, M, W), jnp.float32),
         interpret=interpret,
-    )(jnp.asarray(n_occ, jnp.int32).reshape(1), src_l, slots, slots,
+    )(jnp.asarray(n_occ, jnp.int32).reshape(1), q, slots, slots,
       src_l)
     return out[:NC]
 
@@ -449,22 +464,105 @@ def contact_payload(scene, two_d: bool = False):
             scene.m / scene.rho, scene.h, flags]
 
 
+def _cull_interesting_slots(dfT, slot_cid, cfg: CellGridConfig):
+    """Conservative per-slot interest test for the Mofidi contact gate.
+
+    A slot's queries can produce a gated pair ONLY if (a) the slot has a
+    rigid query lane and (b) its cell's stencil contains a
+    contact-boundary non-fluid source whose dem differs from some query
+    dem.  Body-INTERIOR cells (uniform dem, no foreign sources in
+    range) fail this test and their kernel output is exactly the init
+    row — in block-lattice scenes that is the vast majority of occupied
+    cells, so the kernel runs on a compacted "interesting" slot list
+    (~6x fewer programs at 1M on the bench scene).
+
+    The test is exact w.r.t. the dem/flag gates and conservative w.r.t.
+    distance (stencil locality), so culled outputs are BIT-identical to
+    the full kernel's.
+
+    Returns ``(interesting [NC] bool, islot [NC] i32)`` where islot
+    lists interesting slot ids compacted to the front (NC sentinels
+    after)."""
+    NC = cfg.NC_max
+    G = cfg.n_cells_total
+    gx, gy, gz = cfg.dims
+    F = dfT.shape[1]
+    BIGD = jnp.float32(2.0e9)
+
+    # per-slot lane aggregates from the packed flags row (sentinel
+    # lanes decode to dem=-1/rigid=0/bdry=0 and drop out)
+    dem, bdry, fluid, rigid = _decode_flags(dfT[:NC, F - 1, :])
+    qmask = rigid == 1.0
+    smask = (bdry == 1.0) & (fluid == 0.0)
+    qdmin = jnp.min(jnp.where(qmask, dem, BIGD), axis=1)    # [NC]
+    qdmax = jnp.max(jnp.where(qmask, dem, -BIGD), axis=1)
+    sdmin = jnp.min(jnp.where(smask, dem, BIGD), axis=1)
+    sdmax = jnp.max(jnp.where(smask, dem, -BIGD), axis=1)
+
+    # per-CELL source tables over dense cell-id space: scatter-min/max
+    # handles multi-slot cells for free (NC updates each)
+    cidc = jnp.where(slot_cid < G, slot_cid, G)
+    SminG = jnp.full(G + 1, BIGD, jnp.float32).at[cidc].min(
+        jnp.where(slot_cid < G, sdmin, BIGD), mode="drop")[:G]
+    SmaxG = jnp.full(G + 1, -BIGD, jnp.float32).at[cidc].max(
+        jnp.where(slot_cid < G, sdmax, -BIGD), mode="drop")[:G]
+
+    # stencil union via shifted slices (elementwise, bandwidth-bound;
+    # domain boundary ring is particle-free so offsets never wrap)
+    offs = [dx_ + gx * (dy_ + gy * dz_) for (dx_, dy_, dz_) in cfg.stencil]
+    maxoff = max(abs(o) for o in offs)
+    pmin = jnp.concatenate([jnp.full(maxoff, BIGD, jnp.float32), SminG,
+                            jnp.full(maxoff, BIGD, jnp.float32)])
+    pmax = jnp.concatenate([jnp.full(maxoff, -BIGD, jnp.float32), SmaxG,
+                            jnp.full(maxoff, -BIGD, jnp.float32)])
+    SminU, SmaxU = None, None
+    for off in offs:
+        a = jax.lax.dynamic_slice_in_dim(pmin, maxoff + off, G)
+        b = jax.lax.dynamic_slice_in_dim(pmax, maxoff + off, G)
+        SminU = a if SminU is None else jnp.minimum(SminU, a)
+        SmaxU = b if SmaxU is None else jnp.maximum(SmaxU, b)
+
+    # one [NC]-row lookup of the union tables at each slot's cell
+    T = jnp.stack([SminU, SmaxU], axis=1)                   # [G, 2]
+    rows = T.at[jnp.clip(slot_cid, 0, G - 1)].get(mode="clip")
+    sminu = jnp.where(slot_cid < G, rows[:, 0], BIGD)
+    smaxu = jnp.where(slot_cid < G, rows[:, 1], -BIGD)
+
+    has_q = qdmin < BIGD
+    has_s = sminu < BIGD
+    uniform = (qdmin == qdmax) & (sminu == smaxu) & (qdmin == sminu)
+    # slot_cid < G gates out empty tail slots, whose dfT rows past the
+    # expand kernel's covered range are UNWRITTEN garbage
+    interesting = has_q & has_s & ~uniform & (slot_cid < G)
+
+    iota = jnp.arange(NC, dtype=jnp.int32)
+    islot = jnp.sort(jnp.where(interesting, iota, NC))
+    return interesting, islot
+
+
 def contact_pipeline_sorted_pallas(scene, cfg: CellGridConfig,
                                    kernel: Kernel,
-                                   interpret: bool = False):
+                                   interpret: bool = False,
+                                   cull: bool | None = None):
     """The full TPU fast path: grid build with the pack fields carried
-    through the cell sort, Pallas pack-expansion into dfT, fused Pallas
-    contact kernel, unpack.  Returns the same outputs as
+    through the cell sort, Pallas pack-expansion into dfT, interest
+    culling (body-interior cells skip the kernel — bit-identical init
+    outputs), fused Pallas contact kernel over the compacted slot list,
+    re-expand, unpack.  Returns the same outputs as
     :func:`contact_pipeline_cell_pallas` plus the built grid (callers
     fold ``grid.overflow`` into the scene and reuse nothing else).
 
     Numerically identical to the gather-packed pipeline: the same sort
     order, the same f32 field values, the same kernel."""
+    import os
     from . import pallas_pack
     from .cellpairs import build_cell_grid_packed
 
+    if cull is None:
+        cull = not os.environ.get("RB_NO_CULL")
     S = scene.meta.total_no_bodies
     init_dist = 4.0 * scene.meta.spacing0
+    NC, M = cfg.NC_max, cfg.M
 
     payload = contact_payload(scene, cfg.dim == 2)
     grid, pt = build_cell_grid_packed(scene.x, scene.y, scene.z,
@@ -472,8 +570,34 @@ def contact_pipeline_sorted_pallas(scene, cfg: CellGridConfig,
     dfT = pallas_pack.expand_dft_pallas(pt, grid.n_occupied, cfg,
                                         sent_fields(cfg.dim == 2),
                                         interpret=interpret)
-    sent_slot = jnp.minimum(grid.n_occupied, cfg.NC_max)
-    out = contact_sums_pallas(dfT, grid.n_occupied, grid.nbr_slots,
-                              cfg, kernel, S, init_dist,
-                              interpret=interpret, sent_slot=sent_slot)
-    return _unpack_contact_out(out, grid, cfg, scene, S) + (grid,)
+    sent_slot = jnp.minimum(grid.n_occupied, NC)
+
+    if not cull:
+        out = contact_sums_pallas(dfT, grid.n_occupied, grid.nbr_slots,
+                                  cfg, kernel, S, init_dist,
+                                  interpret=interpret,
+                                  sent_slot=sent_slot)
+        return _unpack_contact_out(out, grid, cfg, scene, S) + (grid,)
+
+    interesting, islot = _cull_interesting_slots(dfT, pt.slot_cid, cfg)
+    n_int = jnp.sum(interesting.astype(jnp.int32))
+    valid = islot < NC
+    qsel = jnp.where(valid, islot, sent_slot)
+    qI = dfT.at[qsel].get(mode="clip")                     # [NC, F, 128]
+    nbrI = jnp.where(valid[:, None],
+                     grid.nbr_slots.at[jnp.clip(islot, 0, NC - 1)
+                                       ].get(mode="clip"), NC)
+    out_c = contact_sums_pallas(dfT, n_int, nbrI, cfg, kernel, S,
+                                init_dist, interpret=interpret,
+                                sent_slot=sent_slot, q_rows=qI)
+
+    # re-expand: scatter the compacted rows over an init-filled full
+    # layout (boring slots' kernel output IS the init row: cfn/srcs 0,
+    # dist 0, closest init_dist)
+    Wp = out_c.shape[-1]
+    initrow = jnp.zeros((Wp,), jnp.float32).at[5 * S:6 * S].set(
+        float(init_dist))
+    full = jnp.broadcast_to(initrow, (NC + 1, M, Wp))
+    full = full.at[jnp.where(valid, islot, NC)].set(
+        out_c, mode="drop")[:NC]
+    return _unpack_contact_out(full, grid, cfg, scene, S) + (grid,)
