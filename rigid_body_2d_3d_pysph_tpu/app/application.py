@@ -63,12 +63,9 @@ class Solver:
                                self.output_fields)
         self.output_files.append(path)
 
-    def _check_overflow(self):
-        if "nbr_overflow" in self.scene and bool(
-                np.asarray(self.scene.nbr_overflow)):
-            raise RuntimeError(
-                "neighbor capacity overflow — raise max_per_cell/"
-                "max_neighbors in the scheme's neighbor config")
+    def _overflowed(self) -> bool:
+        return "nbr_overflow" in self.scene and bool(
+            np.asarray(self.scene.nbr_overflow))
 
     def solve(self, quiet: bool = False, resume: bool = False):
         step = self.scheme.make_step(self.scene)
@@ -88,6 +85,7 @@ class Solver:
             self._dump()
         ev = [e for e in self.events if int(round(e[0] / self.dt)) > done]
         t_wall0 = time.time()
+        rebuilds = 0
         while done < n_steps:
             # steps until next boundary: pfreq, an event, or the end
             n_next = min(self.pfreq, n_steps - done)
@@ -99,16 +97,42 @@ class Solver:
                     continue
                 n_next = min(n_next, steps_to_ev)
 
+            chunk_start = self.scene
             if n_next == self.pfreq:
                 self.scene = multi(self.scene, self.dt)
             else:
                 for _ in range(n_next):
                     self.scene = step(self.scene, self.dt)
+            if self._overflowed():
+                # A capacity sized from an earlier snapshot overflowed as
+                # the particles spread (grid slots, lane width, domain
+                # bounds, or spill stencil width).  PySPH's NNPS grows its
+                # arrays dynamically; with XLA's static shapes growth is a
+                # host-side rebuild from the chunk-start positions + a
+                # re-jit, then the chunk is re-run from its start state
+                # (overflow means pairs were DROPPED, so the chunk's
+                # physics is invalid).  A repeat overflow from the same
+                # snapshot additionally widens every slack factor 1.5x.
+                rebuilds += 1
+                if rebuilds > 8:
+                    raise RuntimeError(
+                        "neighbor capacity overflow persists after 8 grid "
+                        "rebuilds — the scene is likely diverging")
+                self.scheme.refresh_configs(chunk_start, grow=rebuilds > 1)
+                step = self.scheme.make_step(chunk_start)
+                multi = make_multi_step(step, self.pfreq)
+                self.scene = chunk_start
+                if not quiet:
+                    print(f"step {done}: capacity overflow — grid rebuilt "
+                          f"(x{rebuilds}, boost "
+                          f"{self.scheme.capacity_boost:.2f}); re-running "
+                          f"chunk", flush=True)
+                continue
             done += n_next
             self.count = done
             self.t = done * self.dt
             if done % self.pfreq == 0 or done == n_steps:
-                self._check_overflow()
+                rebuilds = 0
                 self._dump()
                 ckpt_mod.save_checkpoint(
                     os.path.join(self.output_dir, "checkpoint.npz"),

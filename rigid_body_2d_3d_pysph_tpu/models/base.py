@@ -30,6 +30,12 @@ from ..state.scene import Scene
 class Scheme:
     name = "scheme"
 
+    #: slack multiplier applied to every measured-occupancy capacity
+    #: (cell slots, lane width, neighbor-list K, spill stencil width).
+    #: The Solver's overflow-rebuild path raises it when a grid sized
+    #: from one snapshot overflows as the simulation spreads.
+    capacity_boost = 1.0
+
     def add_user_options(self, group: argparse._ArgumentGroup) -> None:
         pass
 
@@ -57,6 +63,22 @@ class Scheme:
     def make_step(self, scene: Scene):
         raise NotImplementedError
 
+    def refresh_configs(self, scene: Scene, grow: bool = False) -> None:
+        """Drop every cached neighbor/cell-grid config so the next
+        ``make_step`` re-sizes capacities from the CURRENT particle
+        positions.  ``grow=True`` additionally widens all slack factors
+        1.5x — used by the Solver when a rebuild from the same snapshot
+        overflowed again (the spread within one chunk exceeded the
+        default margins).  PySPH's NNPS resizes its arrays dynamically
+        (reference: pysph.base.nnps usage throughout ``code/``); with
+        XLA's static shapes, growth is this host-side rebuild plus a
+        re-jit of the step."""
+        if grow:
+            self.capacity_boost = float(self.capacity_boost) * 1.5
+        for attr in ("_nbr_cfg", "_cell_cfg", "_pallas_cfg"):
+            if getattr(self, attr, None) is not None:
+                setattr(self, attr, None)
+
     # -- shared helpers ---------------------------------------------------
     def neighbor_config(self, scene: Scene, radius_scale: float,
                         safety: float = 2.0) -> nbmod.NeighborConfig:
@@ -66,7 +88,7 @@ class Scheme:
         h = np.asarray(scene.h)
         cutoff = float(radius_scale * h.max())
         m, k = nbmod.estimate_capacities(x, y, z, cutoff, scene.meta.dim,
-                                         safety=safety)
+                                         safety=safety * self.capacity_boost)
         cfg = nbmod.default_config(scene.meta.dim, cutoff, scene.n,
                                    max_neighbors=k, max_per_cell=m)
         return cfg
@@ -119,6 +141,19 @@ class SchemeChooser(Scheme):
 
     def make_step(self, scene):
         return self.scheme.make_step(scene)
+
+    def refresh_configs(self, scene, grow: bool = False):
+        # MUST delegate explicitly: the inherited implementation would
+        # setattr the cleared configs onto the CHOOSER (shadowing
+        # __getattr__) while the selected scheme kept its stale grid —
+        # the Solver's overflow rebuild would then silently re-use the
+        # overflowing config forever
+        return self.scheme.refresh_configs(scene, grow=grow)
+
+    @property
+    def capacity_boost(self):
+        # class attr on Scheme, so __getattr__ never fires for it
+        return self.scheme.capacity_boost
 
     def configure_solver(self, dt, tf, pfreq=100, **kw):
         self.scheme.configure_solver(dt, tf, pfreq, **kw)

@@ -59,10 +59,12 @@ class DEMScheme(Scheme):
         # DEM-kernel grid: bins are cell_factor x the (tight, 2*rad_s)
         # contact radius — coarser bins amortize the per-cell program +
         # DMA cost over more lanes (the contact radius alone would give
-        # ~1 grain/cell).  Measured @104k grains on v5e: factor 2 ->
-        # 72.7 ms/step, 3 -> 48.0, 4 -> 44.4, 6 -> 32.6, 8 -> 45.9
-        # (>=10 exceeds Mosaic limits: the [OM, OM] rank matrix).
-        self.cell_factor = 6.0
+        # ~1 grain/cell).  Swept @104k grains on v5e with the spill
+        # grid + batched kernel (scripts/exp_dem_grid_sweep.py):
+        # (factor, M) -> ms/step: (4,16) 26.2, (6,16) 35.8, (5,16)
+        # 36.4, (8,32) 30.3, (4,8) 36.0 — factor 4 minimizes the
+        # packed stencil width (O=16, OM=256 candidate lanes/query).
+        self.cell_factor = 4.0
         self._nbr_cfg: Optional[nbmod.NeighborConfig] = None
         self._cell_cfg = None
         self._pallas_cfg = None
@@ -137,7 +139,8 @@ class DEMScheme(Scheme):
             cutoff = float(kernel.radius_scale * np.asarray(scene.h).max())
             self._cell_cfg = cellmod.config_from_positions(
                 np.asarray(scene.x), np.asarray(scene.y),
-                np.asarray(scene.z), cutoff, self.dim)
+                np.asarray(scene.z), cutoff, self.dim,
+                capacity_boost=self.capacity_boost)
         return self._cell_cfg
 
     def pallas_cell_config(self, scene: Scene):
@@ -150,7 +153,8 @@ class DEMScheme(Scheme):
             self._pallas_cfg = cellmod.config_from_positions(
                 np.asarray(scene.x), np.asarray(scene.y),
                 np.asarray(scene.z), cutoff, self.dim,
-                cell_factor=self.cell_factor)
+                cell_factor=self.cell_factor,
+                capacity_boost=self.capacity_boost)
         return self._pallas_cfg
 
     def _use_pallas(self):

@@ -237,7 +237,8 @@ class _RigidBodySchemeBase(Scheme):
             self._cell_cfg = cellmod.config_from_positions(
                 np.asarray(scene.x), np.asarray(scene.y),
                 np.asarray(scene.z), cutoff, self.dim,
-                skin=self.skin_factor * cutoff)
+                skin=self.skin_factor * cutoff,
+                capacity_boost=self.capacity_boost)
         return self._cell_cfg
 
     def _cell_pipeline(self):

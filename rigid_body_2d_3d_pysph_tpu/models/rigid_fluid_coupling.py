@@ -190,7 +190,8 @@ class RigidFluidCouplingScheme(Scheme):
             self._cell_cfg = cellmod.config_from_positions(
                 np.asarray(scene.x), np.asarray(scene.y),
                 np.asarray(scene.z), cutoff, self.dim,
-                occupancy_safety=2.6)
+                occupancy_safety=2.6,
+                capacity_boost=self.capacity_boost)
         return self._cell_cfg
 
     # -- the fused step ---------------------------------------------------

@@ -89,7 +89,8 @@ def config_from_positions(x, y, z, cutoff: float, dim: int,
                           cell_chunk: int = 512,
                           skin: float = 0.0,
                           cell_factor: float = 1.0,
-                          spill: bool | None = None) -> CellGridConfig:
+                          spill: bool | None = None,
+                          capacity_boost: float = 1.0) -> CellGridConfig:
     """Host-side: bound the domain from initial positions with ``slack``
     x extent margins; size M from measured occupancy and NC_max from the
     occupied-cell count.  ``sub`` bins per cutoff trades a wider stencil
@@ -98,7 +99,17 @@ def config_from_positions(x, y, z, cutoff: float, dim: int,
     than skin/2 since the build (Verlet-list reuse).  ``cell_factor``
     >= 1 makes the bins COARSER than the cutoff (fewer cells, more
     lanes per cell) — used by the DEM kernel, whose contact radius is
-    far smaller than a comfortable cell size."""
+    far smaller than a comfortable cell size.
+
+    ``capacity_boost`` scales every measured-occupancy slack factor
+    (nc_factor, occupancy_safety, the spill stencil-width margin) —
+    the Solver's overflow-rebuild path raises it when a configuration
+    sized from one snapshot overflows as the particles spread
+    (PySPH's NNPS resizes dynamically; here capacity is static per
+    compiled program, so growth is a host-side rebuild)."""
+    nc_factor = nc_factor * capacity_boost
+    occupancy_safety = occupancy_safety * capacity_boost
+    slack = slack * capacity_boost
     cell = float(cell_factor) * (float(cutoff) + float(skin)) / sub
     x = np.asarray(x); y = np.asarray(y); z = np.asarray(z)
     pts = [x, y] + ([z] if dim == 3 else [])
@@ -146,7 +157,7 @@ def config_from_positions(x, y, z, cutoff: float, dim: int,
                     for k in (r if dim == 3 else (0,)))
             worst = max(worst, s)
         O_p = max(len(tuple(None for _ in r)) ** dim,
-                  int(np.ceil(worst * 1.6)))
+                  int(np.ceil(worst * 1.6 * capacity_boost)))
         lane_q = max(1, 128 // M)
         O_p = -(-O_p // lane_q) * lane_q
         return CellGridConfig(cell=cell, M=int(M), NC_max=NC_max,

@@ -155,7 +155,10 @@ def _kernel(L, E, M, O, cutoff, n_occ_ref, q_ref, tab_ref, nbr_now,
         one = jnp.ones_like(rij)
         zero = jnp.zeros_like(rij)
         for l in range(L):
-            eq = gate & (j_s == tcol(0, l)) & (dem_s == tcol(1, l))
+            # idx alone keys the match: a particle's dem_id is static,
+            # so (idx, dem) pairs never collide on idx (the reference's
+            # dem-changed prune at dem.py:246 can never fire)
+            eq = gate & (j_s == tcol(0, l))
             eq_ls.append(eq)
             matched_l.append(
                 jnp.sum(jnp.where(eq, one, zero), axis=1, keepdims=True)
