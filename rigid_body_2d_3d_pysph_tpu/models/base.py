@@ -75,7 +75,8 @@ class Scheme:
         re-jit of the step."""
         if grow:
             self.capacity_boost = float(self.capacity_boost) * 1.5
-        for attr in ("_nbr_cfg", "_cell_cfg", "_pallas_cfg"):
+        for attr in ("_nbr_cfg", "_cell_cfg", "_pallas_cfg",
+                     "_rowwin_cfg"):
             if getattr(self, attr, None) is not None:
                 setattr(self, attr, None)
 

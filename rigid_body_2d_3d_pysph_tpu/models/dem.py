@@ -65,9 +65,19 @@ class DEMScheme(Scheme):
         # 36.4, (8,32) 30.3, (4,8) 36.0 — factor 4 minimizes the
         # packed stencil width (O=16, OM=256 candidate lanes/query).
         self.cell_factor = 4.0
+        # DEM Pallas grid layout: "spill" (the cell-keyed spillover
+        # grid, production default) or "rowwin" (row-window grid —
+        # sorted M=8 windows with run-granular source DMAs; ~3x fewer
+        # candidate pair lanes, but measured SLOWER end-to-end @104k on
+        # v5e: 33.4 vs 19.5 ms/step — the 18-column payload sort makes
+        # its build ~12 ms and M=8 rows starve the 8x128 vregs; kept as
+        # a selectable layout for narrow-cutoff workloads).
+        import os as _os
+        self.dem_grid = _os.environ.get("RB_DEM_GRID", "spill")
         self._nbr_cfg: Optional[nbmod.NeighborConfig] = None
         self._cell_cfg = None
         self._pallas_cfg = None
+        self._rowwin_cfg = None
 
     def add_user_options(self, group):
         group.add_argument("--contact-model", dest="contact_model",
@@ -157,6 +167,18 @@ class DEMScheme(Scheme):
                 capacity_boost=self.capacity_boost)
         return self._pallas_cfg
 
+    def rowwin_config(self, scene: Scene):
+        """Row-window grid for the production DEM Pallas kernel (bins =
+        the exact contact radius; see ops/rowwin.py)."""
+        if self._rowwin_cfg is None:
+            from ..ops import rowwin as rwmod
+            cutoff = 2.0 * float(np.asarray(scene.rad_s).max())
+            self._rowwin_cfg = rwmod.rowwin_config_from_positions(
+                np.asarray(scene.x), np.asarray(scene.y),
+                np.asarray(scene.z), cutoff, self.dim,
+                capacity_boost=self.capacity_boost)
+        return self._rowwin_cfg
+
     def _use_pallas(self):
         if self.engine != "pallas" or self.contact_model != "LVCDisplacement":
             return False
@@ -174,7 +196,11 @@ class DEMScheme(Scheme):
         use_pallas = self._use_pallas()
         use_cell = (not use_pallas and self.engine in ("cell", "pallas")
                     and self.contact_model == "LVCDisplacement")
-        cell_cfg = (self.pallas_cell_config(scene) if use_pallas
+        rowwin_cfg = (self.rowwin_config(scene)
+                      if use_pallas and self.dem_grid == "rowwin"
+                      else None)
+        cell_cfg = (None if rowwin_cfg is not None
+                    else self.pallas_cell_config(scene) if use_pallas
                     else self.cell_config(scene) if use_cell else None)
         gx, gy, gz = self.gx, self.gy, self.gz
         displacement = self.contact_model == "LVCDisplacement"
@@ -204,7 +230,20 @@ class DEMScheme(Scheme):
             )
 
             # stage-2 equations: prune table, body force, LVC contact
-            if use_pallas:
+            if use_pallas and rowwin_cfg is not None:
+                from ..ops import pallas_dem as pdops
+                # prune is fused into the kernel's slot matching
+                (cfx, cfy, cfz, tx_, ty_, tz_, ti, td, ta, tb, tc,
+                 cnt, grid) = pdops.lvc_displacement_rowwin_pallas(
+                     scene, rowwin_cfg, dt,
+                     scene.tng_idx, scene.tng_idx_dem_id,
+                     scene.tng_x, scene.tng_y, scene.tng_z)
+                scene = scene.replace(tng_idx=ti, tng_idx_dem_id=td,
+                                      tng_x=ta, tng_y=tb, tng_z=tc,
+                                      total_tng_contacts=cnt,
+                                      nbr_overflow=(scene.nbr_overflow
+                                                    | grid.overflow))
+            elif use_pallas:
                 from ..ops import cellpairs as cellmod
                 from ..ops import pallas_dem as pdops
                 # prune is fused into the kernel's slot matching

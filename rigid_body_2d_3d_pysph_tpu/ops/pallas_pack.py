@@ -101,14 +101,17 @@ def _expand_kernel(F, M, W, sent, n_occ_ref, tbl_now, tbl_nxt,
 
 
 def expand_dft_pallas(pt: PackTables, n_occ, cfg: CellGridConfig,
-                      sentinels, interpret: bool = False):
+                      sentinels, interpret: bool = False,
+                      extra_rows: int = 0):
     """Expand cell-sorted pack fields into ``dfT [NCe, F, 128]``.
 
     ``NCe`` covers the contact kernel's program padding plus one extra
     block: rows up to ``ceil(min(n_occ, NC)/_BP)*_BP + _BP`` are written
     (occupied slots expanded, the rest all-sentinel); the row at index
     ``min(n_occ, NC)`` is always a valid all-sentinel row — callers remap
-    missing-neighbor entries (== NC) there."""
+    missing-neighbor entries (== NC) there.  ``extra_rows`` widens the
+    dynamic coverage to ``n_occ + extra_rows`` (the row-window kernel's
+    run DMAs read up to ``max_run`` rows past the last window)."""
     F = len(pt.sorted_fields)
     if len(sentinels) != F:
         raise ValueError(f"{len(sentinels)} sentinels for {F} fields")
@@ -144,7 +147,8 @@ def expand_dft_pallas(pt: PackTables, n_occ, cfg: CellGridConfig,
     # cover every slot up to and including the sentinel row at n_occ
     n_occ_i = jnp.minimum(
         jnp.maximum(jnp.asarray(n_occ, jnp.int32), 0), NC)
-    nprog_dyn = jnp.minimum(n_occ_i // _BP + 1, nprog_static)
+    nprog_dyn = jnp.minimum((n_occ_i + extra_rows) // _BP + 1,
+                            nprog_static)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nprog_dyn,),

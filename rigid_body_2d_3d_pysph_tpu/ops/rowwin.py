@@ -48,8 +48,6 @@ import numpy as np
 
 from .cellpairs import PackTables, _cell_keys
 
-_BIG = jnp.int32(2 ** 30)
-
 
 @dataclass(frozen=True)
 class RowWinConfig:
@@ -84,6 +82,10 @@ class RowWinConfig:
 
 class RowWinGrid(NamedTuple):
     nbr_runs: jax.Array    # [NC_max, R] start slot of each row run
+    run_cnt: jax.Array     # [NC_max, R] slots in each run (<= max_run);
+    #                        slots past the count belong to OTHER rows
+    #                        (already covered by their own run) and MUST
+    #                        be masked by consumers to avoid duplicates
     dense_pos: jax.Array   # [N] window*M + lane per particle; NC*M = dropped
     n_occupied: jax.Array  # scalar int32 (windows)
     overflow: jax.Array    # scalar bool (domain exit or run > max_run)
@@ -189,11 +191,22 @@ def build_row_window_grid(x, y, z, active, cfg: RowWinConfig, payload):
     key, dom_overflow, G = _cell_keys(x, y, z, active, cfg)
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    ops = (key,) + tuple(jnp.asarray(p, jnp.float32) for p in payload) \
-        + (idx,)
-    res = jax.lax.sort(ops, num_keys=1)
-    ks, order = res[0], res[-1]
-    sorted_fields = res[1:-1]
+    if len(payload) <= 12:
+        ops = (key,) + tuple(jnp.asarray(p, jnp.float32)
+                             for p in payload) + (idx,)
+        res = jax.lax.sort(ops, num_keys=1)
+        ks, order = res[0], res[-1]
+        sorted_fields = res[1:-1]
+    else:
+        # wide payloads (DEM: 13 fields + 5L table columns) as sort
+        # operands explode XLA's sort compile; sort (key, idx) and
+        # permute the payload with ONE stacked row gather instead
+        # (~14 ns/row on v5e — 1.5 ms at 100k)
+        ks, order = jax.lax.sort_key_val(key, idx)
+        stacked = jnp.stack(
+            [jnp.asarray(p, jnp.float32) for p in payload], axis=-1)
+        srt = jax.lax.optimization_barrier(stacked)[order]
+        sorted_fields = tuple(srt[:, i] for i in range(len(payload)))
     valid = ks < G
     n_valid = jnp.sum(valid.astype(jnp.int32)).astype(jnp.int32)
 
@@ -207,26 +220,28 @@ def build_row_window_grid(x, y, z, active, cfg: RowWinConfig, payload):
     n_occ = jnp.where(jnp.any(valid), win[-1] + 1, 0)
 
     # dense_pos (particle -> window*M + lane), back to original order by
-    # a sort (scatters cost ~9 ms/1M-update flat on v5e; sorts ~4 ms)
+    # a scatter.  (At the 1M scale BASELINE.md's "scatters cost a flat
+    # ~9 ms/1M-update" rule prefers sorts; the row-window grid serves
+    # the ~100k-class DEM workloads where an [n]-update scatter is
+    # ~0.1 ms and a third sort is ~1.5 ms.)
     flat = jnp.where(valid & (win < NCW), win * M + lane, NCW * M)
-    _, dense_pos = jax.lax.sort_key_val(order, flat)
+    dense_pos = jnp.full(n, NCW * M, jnp.int32).at[order].set(
+        flat, unique_indices=True)
 
-    # per-window tables by compaction sort: (window id at subheads, cell
-    # id, position) — one 3-operand sort replaces three [n]-update
-    # scatters
-    key2 = jnp.where(subhead, win, _BIG)
-    comp = jax.lax.sort((key2, ks, idx), num_keys=1)
-    wcid, wpos = comp[1], comp[2]
-    if n < NCW:
-        wcid = jnp.concatenate([wcid, jnp.full(NCW - n, G, jnp.int32)])
-        wpos = jnp.concatenate([wpos, jnp.zeros(NCW - n, jnp.int32)])
+    # per-window tables: scatter cell id / position at the window heads
+    # (window ids are unique there)
     iw = jnp.arange(NCW, dtype=jnp.int32)
     wvalid = iw < jnp.minimum(n_occ, NCW)
-    wbase = jnp.where(wvalid, wpos[:NCW], n_valid)
+    tgt = jnp.where(subhead, win, NCW)
+    wcid_f = jnp.full(NCW + 1, G, jnp.int32).at[tgt].set(
+        ks, mode="drop", unique_indices=True)[:NCW]
+    wpos_f = jnp.full(NCW + 1, 0, jnp.int32).at[tgt].set(
+        idx, mode="drop", unique_indices=True)[:NCW]
+    wbase = jnp.where(wvalid, wpos_f, n_valid)
     wnext = jnp.concatenate([wbase[1:], n_valid[None]])
     wcnt = jnp.clip(jnp.where(wvalid, wnext - wbase, 0), 0, M)
-    wrow = wcid[:NCW] // jnp.int32(gx)
-    wcxa = wcid[:NCW] - wrow * jnp.int32(gx)
+    wrow = wcid_f // jnp.int32(gx)
+    wcxa = wcid_f - wrow * jnp.int32(gx)
     lastp = jnp.clip(wbase + wcnt - 1, 0, n - 1)
     kl = ks.at[lastp].get(mode="clip")
     wcxb = jnp.where(wvalid, kl - (kl // jnp.int32(gx)) * jnp.int32(gx),
@@ -250,7 +265,7 @@ def build_row_window_grid(x, y, z, active, cfg: RowWinConfig, payload):
     offsets = ([dy for dy in (-1, 0, 1)] if cfg.dim == 2 else
                [dy + gy * dz for dz in (-1, 0, 1) for dy in (-1, 0, 1)])
     sent = jnp.minimum(n_occ, NCW)      # all-sentinel window row
-    run_sa, run_ovf = [], jnp.zeros((), bool)
+    run_sa, run_ct, run_ovf = [], [], jnp.zeros((), bool)
     for off in offsets:
         r = wrow + jnp.int32(off)
         clo = jnp.clip(r * jnp.int32(gx) + wcxa - 1, 0, G)
@@ -264,12 +279,15 @@ def build_row_window_grid(x, y, z, active, cfg: RowWinConfig, payload):
         nsl = (hi - 1 - fp) // M + 1 - (lo - fp) // M
         run_ovf = run_ovf | jnp.any(nonempty & (nsl > cfg.max_run))
         run_sa.append(jnp.where(nonempty, sa, sent))
+        run_ct.append(jnp.where(nonempty,
+                                jnp.minimum(nsl, cfg.max_run), 0))
     nbr_runs = jnp.stack(run_sa, axis=1).astype(jnp.int32)   # [NCW, R]
+    run_cnt = jnp.stack(run_ct, axis=1).astype(jnp.int32)    # [NCW, R]
 
-    grid = RowWinGrid(nbr_runs=nbr_runs, dense_pos=dense_pos,
-                      n_occupied=n_occ,
+    grid = RowWinGrid(nbr_runs=nbr_runs, run_cnt=run_cnt,
+                      dense_pos=dense_pos, n_occupied=n_occ,
                       overflow=dom_overflow | run_ovf)
     pt = PackTables(sorted_fields=sorted_fields, base=wbase, cnt=wcnt,
                     n_valid=n_valid,
-                    slot_cid=jnp.where(wvalid, wcid[:NCW], G))
+                    slot_cid=jnp.where(wvalid, wcid_f, G))
     return grid, pt

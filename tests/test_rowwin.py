@@ -56,18 +56,21 @@ def test_rowwin_pair_coverage(dim, clumpy):
     assert cnt.sum() / (n_occ * M) > (0.45 if dim == 2 else 0.25)
 
     runs = np.asarray(grid.nbr_runs)[:n_occ]               # [n_occ, R]
+    rcnt = np.asarray(grid.run_cnt)[:n_occ]
     covered = set()
+    dup = 0
     for w in range(n_occ):
         q = sidx[base[w]:base[w] + cnt[w]]
         src = []
-        for sa in runs[w]:
-            if sa >= n_occ:
-                continue
-            for s in range(sa, min(sa + cfg.max_run, n_occ)):
+        for sa, sc in zip(runs[w], rcnt[w]):
+            for s in range(sa, min(sa + sc, n_occ)):
                 src.extend(sidx[base[s]:base[s] + cnt[s]])
+        # no source may appear twice (kernel force sums would double)
+        dup += len(src) - len(set(src))
         for qi in q:
             for sj in src:
                 covered.add((int(qi), int(sj)))
+    assert dup == 0, f"{dup} duplicated source lanes across runs"
 
     xs = np.stack([x, y, z], axis=1)
     d2 = ((xs[:, None, :] - xs[None, :, :]) ** 2).sum(-1)
