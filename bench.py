@@ -169,6 +169,32 @@ def build_dem_scene():
     return scheme, scene
 
 
+def build_coupling_scene():
+    """~BENCH_N-particle rigid-fluid coupling scene: the sinking-box FSI
+    case (Sun 2015; the reference's largest workload) with the particle
+    spacing scaled to hit the target count."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "cases"))
+    from rigid_body_rotating_and_sinking_in_tank_2d import SinkingBox
+
+    app = SinkingBox(fname="bench_coupling")
+    app.initialize()
+    # the stock case is ~33k particles at dx=0.02; scale dx for BENCH_N
+    scale = np.sqrt(33_000.0 / max(N_TARGET, 2000))
+    dx = 0.02 * scale
+    app.fluid_spacing = app.body_spacing = dx
+    app.h = app.body_h = app.hdx * dx
+    app.scheme = app.create_scheme()
+    app.scheme.configure(dim=2)
+    scheme = app.scheme.scheme
+    default_engine = ("pallas" if os.environ.get("RB_TPU_PLATFORM") != "cpu"
+                      else "cell")
+    scheme.engine = os.environ.get("BENCH_ENGINE", default_engine)
+    scene = app.create_particles()
+    dt = 0.25 * app.h / (1.1 * app.co)
+    return scheme, scene, dt
+
+
 def measure(n_steps: int) -> dict:
     import jax
     import jax.numpy as jnp
@@ -185,6 +211,10 @@ def measure(n_steps: int) -> dict:
     elif workload == "rigid3d":
         scheme, scene = build_scene_3d()
         dt = jnp.asarray(5e-5)
+        chunk = min(n_steps, 50)
+    elif workload == "coupling":
+        scheme, scene, dt_f = build_coupling_scene()
+        dt = jnp.asarray(dt_f)
         chunk = min(n_steps, 50)
     else:
         scheme, scene = build_scene()
@@ -249,7 +279,8 @@ if __name__ == "__main__":
     # ~48 quintic-kernel neighbors per particle in 2D, ~250 in 3D
     workload = os.environ.get("BENCH_WORKLOAD", "rigid")
     name = {"rigid": "rigid-contact", "rigid3d": "rigid-contact-3d",
-            "dem": "DEM-LVC"}.get(workload, workload)
+            "dem": "DEM-LVC",
+            "coupling": "rigid-fluid-coupling"}.get(workload, workload)
     nbrs = 250 if workload == "rigid3d" else 48
     pair_evals = r["steps_per_sec"] * r["n"] * nbrs * 2  # 2 pair passes
     print(json.dumps({

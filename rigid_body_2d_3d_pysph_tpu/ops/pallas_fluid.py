@@ -67,12 +67,19 @@ def pack_fluid_pallas(scene, grid: CellGrid, cfg: CellGridConfig):
 
 _B = 8  # cells per kernel program (amortizes Mosaic grid-step dispatch;
 #         see pallas_contact._B)
+_D = 8  # DMA pipeline depth (cells in flight).  The fluid passes'
+#        per-cell compute is tiny (~0.1 us) compared to contact, so a
+#        2-deep buffer leaves one full HBM round-trip (~0.7 us) exposed
+#        per cell — measured scaffold-only 2.6 ms @3.8k cells.  _D
+#        buffers keep _D-1 cells' stencil copies in flight; must divide
+#        _B (buffer index b % _D must equal g % _D across programs) and
+#        be <= _B + 1 (prefetch rows come only from programs c, c+1).
 
 
 def _scaffold(compute, W, M, O, n_occ_ref, q_ref, nbr_now, nbr_nxt,
               dft_hbm, out_ref, scratch, sems):
     """Generic pair kernel over _B cells per program: DMA each cell's
-    stencil blocks (2-deep revolving buffer, prefetch crossing program
+    stencil blocks (_D-deep revolving buffer, prefetch crossing program
     boundaries), hand (q [M, F], sL [F, OM]) to ``compute`` -> [M, W]."""
     c = pl.program_id(0)
     n_occ = n_occ_ref[0]
@@ -83,12 +90,17 @@ def _scaffold(compute, W, M, O, n_occ_ref, q_ref, nbr_now, nbr_nxt,
                 dft_hbm.at[nbr_row[row, o]], scratch.at[buf, o],
                 sems.at[buf, o]).start()
 
-    @pl.when((c == 0) & (n_occ > 0))
+    # program 0 warms the pipeline with cells 0.._D-2; for c > 0 the
+    # previous program already started cells base..base+_D-2
+    @pl.when(c == 0)
     def _():
-        start_dmas(0, nbr_now, 0)
+        for j in range(_D - 1):
+            @pl.when(j < n_occ)
+            def _(j=j):
+                start_dmas(j % _D, nbr_now, j)
 
     def active(b):
-        buf = b % 2
+        buf = b % _D
         for o in range(O):
             pltpu.make_async_copy(
                 dft_hbm.at[nbr_now[b, o]], scratch.at[buf, o],
@@ -100,16 +112,19 @@ def _scaffold(compute, W, M, O, n_occ_ref, q_ref, nbr_now, nbr_nxt,
     base = c * _B
     for b in range(_B):
         g = base + b
-        if b + 1 < _B:
-            @pl.when(g + 1 < n_occ)
-            def _(b=b):
-                start_dmas((b + 1) % 2, nbr_now, b + 1)
+        # keep _D-1 cells in flight: start cell g+_D-1's copies before
+        # waiting on cell g's (row from this program's block or the
+        # next one's; g+_D-1 < n_occ implies that program is within the
+        # dynamic grid bound, so nbr_nxt's block is the real next row)
+        ahead = b + _D - 1
+        if ahead < _B:
+            @pl.when(g + _D - 1 < n_occ)
+            def _(b=b, ahead=ahead):
+                start_dmas(ahead % _D, nbr_now, ahead)
         else:
-            # g+1 < n_occ implies program c+1 is within the dynamic
-            # grid bound, so nbr_nxt's block is the real next row
-            @pl.when(g + 1 < n_occ)
-            def _():
-                start_dmas(0, nbr_nxt, 0)
+            @pl.when(g + _D - 1 < n_occ)
+            def _(b=b, ahead=ahead):
+                start_dmas(ahead % _D, nbr_nxt, ahead - _B)
         # slots >= n_occ are never referenced by dense_pos: leave their
         # out block unwritten (unpack never gathers it)
         @pl.when(g < n_occ)
