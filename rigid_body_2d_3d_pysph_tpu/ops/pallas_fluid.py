@@ -5,8 +5,9 @@ rates R, wall-BC W, momentum+FSI F; reference
 ``code/rigid_fluid_coupling.py:67-226,489-554``) are plain per-particle
 lane reductions — no per-entity slot sums — so they share one generic
 per-cell scaffold: query block in VMEM, the 9/27 stencil source blocks
-DMA'd in-kernel with a 2-deep revolving buffer (same scheme as
-``pallas_contact._kernel``), pair matrices as [M, OM] vregs, outputs a
+DMA'd in-kernel with a ``_D``-deep revolving buffer (deeper than
+``pallas_contact._kernel``'s: the fluid per-cell compute is too short
+to hide one HBM round-trip), pair matrices as [M, OM] vregs, outputs a
 [M, W] reduction block.  The XLA cell engine streams [C, M, OM]
 intermediates through HBM per chunk; here HBM sees only the packed
 fields and the [NC, M, W] outputs.
@@ -162,8 +163,8 @@ def cell_pair_pallas(df, dfT, n_occ, nbr_slots, cfg: CellGridConfig,
         out_specs=pl.BlockSpec((_B, M, W), lambda c, n: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, O, F, -(-M // 128) * 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, O)),
+            pltpu.VMEM((_D, O, F, -(-M // 128) * 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((_D, O)),
         ],
     )
     slots = jnp.minimum(nbr_slots, NC).astype(jnp.int32)
