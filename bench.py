@@ -25,11 +25,18 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_TARGET = int(os.environ.get("BENCH_N", 100_000))
 N_STEPS = int(os.environ.get("BENCH_STEPS", 200))
 # the host has ONE CPU core behind this TPU: a few baseline steps are
 # ~25 s each at 100k particles, so keep the default sample small
 CPU_STEPS = int(os.environ.get("BENCH_CPU_STEPS", 4))
+
+
+def n_target() -> int:
+    """BENCH_N, read at CALL time (not import time) so callers like
+    __graft_entry__.dryrun_multichip can set it after importing bench
+    (the round-3 dryrun silently ran at 100k because of an import-time
+    read)."""
+    return int(os.environ.get("BENCH_N", 100_000))
 
 
 def build_scene():
@@ -44,7 +51,7 @@ def build_scene():
     # 8 large bodies falling into a tank; body size derived from the
     # particle target
     n_bodies = 8
-    side = max(int(np.sqrt(max(N_TARGET, 1000) / n_bodies)), 12)
+    side = max(int(np.sqrt(max(n_target(), 1000) / n_bodies)), 12)
     dx = 0.2 / (side - 1)
     xb1, yb1 = get_2d_block(dx, 0.2, 0.2)
     xs, ys, bid = [], [], []
@@ -89,7 +96,7 @@ def build_scene_3d():
     )
 
     n_bodies = 8
-    side = max(int(round((max(N_TARGET, 1000) / n_bodies) ** (1 / 3))), 5)
+    side = max(int(round((max(n_target(), 1000) / n_bodies) ** (1 / 3))), 5)
     dx = 0.2 / (side - 1)
     xb1, yb1, zb1 = get_3d_block(dx, 0.2, 0.2, 0.2)
     xs, ys, zs, bid = [], [], [], []
@@ -144,7 +151,7 @@ def build_dem_scene():
     )
 
     radius, s, rho = 1e-3, 2.1e-3, 2600.0
-    k = np.sqrt(max(N_TARGET, 1000) / 1130.0)
+    k = np.sqrt(max(n_target(), 1000) / 1130.0)
     w, h = 0.05 * k, 0.1 * k
     xg, yg = get_2d_block(s, w, h)
     yg -= yg.min() - radius
@@ -180,7 +187,7 @@ def build_coupling_scene():
     app = SinkingBox(fname="bench_coupling")
     app.initialize()
     # the stock case is ~33k particles at dx=0.02; scale dx for BENCH_N
-    scale = np.sqrt(33_000.0 / max(N_TARGET, 2000))
+    scale = np.sqrt(33_000.0 / max(n_target(), 2000))
     dx = 0.02 * scale
     app.fluid_spacing = app.body_spacing = dx
     app.h = app.body_h = app.hdx * dx

@@ -139,9 +139,9 @@ class Solver:
                     self.scene, self.t, done)
                 for cb in self.callbacks_post_chunk:
                     cb(self)
+                el = time.time() - t_wall0
+                self._steps_per_sec = done / max(el, 1e-9)
                 if not quiet:
-                    el = time.time() - t_wall0
-                    self._steps_per_sec = done / max(el, 1e-9)
                     print(f"step {done}/{n_steps}  t={self.t:.6g}  "
                           f"{self._steps_per_sec:.1f} steps/s", flush=True)
         # ensure final state materialized

@@ -41,6 +41,10 @@ if _cache_dir:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        # don't persist XLA:CPU AOT blobs: reloading them on a host with
+        # different CPU features prints a loud error per executable (the
+        # cached StableHLO->executable mapping is what saves the time)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:  # older jax versions: best effort
         pass
 

@@ -84,6 +84,11 @@ def main():
     p.add_argument("--force", action="store_true")
     p.add_argument("--max-steps", type=int, default=None,
                    help="cap steps per case (smoke runs)")
+    p.add_argument("--validate", metavar="JSON", nargs="?",
+                   const="VALIDATE.json", default=None,
+                   help="after the runs, execute validate.py over every "
+                        "case and write the committed evidence artifact "
+                        "(default VALIDATE.json)")
     args = p.parse_args()
 
     if args.list:
@@ -94,7 +99,13 @@ def main():
     extra = (["--max-steps", str(args.max_steps)] if args.max_steps else [])
     results = {n: run_case(n, args.force, extra) for n in names}
     print(json.dumps(results, indent=2))
-    return 0 if all(results.values()) else 1
+    rc = 0 if all(results.values()) else 1
+    if args.validate:
+        r = subprocess.run([sys.executable,
+                            os.path.join(HERE, "validate.py"),
+                            "--json", args.validate])
+        rc = rc or r.returncode
+    return rc
 
 
 if __name__ == "__main__":

@@ -264,6 +264,11 @@ CHECKS = {
 
 
 def main(argv):
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     names = argv or list(CHECKS)
     results = {}
     for n in names:
@@ -273,6 +278,36 @@ def main(argv):
             results[n] = dict(ok=False, error=repr(e))
     print(json.dumps(results, indent=2))
     bad = [n for n, r in results.items() if r is not None and not r["ok"]]
+    if json_path:
+        # committed machine-checkable evidence (the *_output dirs
+        # themselves are gitignored): case -> ok + key metrics, plus the
+        # per-case throughput from each info JSON
+        import time as _time
+        perf = {}
+        for case in list(CHECKS) + ["benchmark_4_en_1.0",
+                                    "benchmark_4_en_0.8",
+                                    "benchmark_4_en_0.5"]:
+            d = os.path.join(HERE, f"{case}_output")
+            if not os.path.isdir(d):
+                continue
+            for f in os.listdir(d):
+                if f.endswith(".info.json"):
+                    with open(os.path.join(d, f)) as fh:
+                        info = json.load(fh)
+                    perf[case] = dict(
+                        steps_per_sec=info.get("steps_per_sec"),
+                        n_particles=info.get("n_particles"),
+                        cpu_time=info.get("cpu_time"))
+                    break
+        with open(json_path, "w") as f:
+            json.dump(dict(
+                date=_time.strftime("%Y-%m-%d %H:%M:%S"),
+                n_checked=len([r for r in results.values()
+                               if r is not None]),
+                n_ok=len([r for r in results.values()
+                          if r is not None and r["ok"]]),
+                failed=bad, results=results, throughput=perf), f, indent=2)
+        print(f"wrote {json_path}")
     return 1 if bad else 0
 
 
