@@ -202,12 +202,57 @@ def build_coupling_scene():
     return scheme, scene, dt
 
 
+def measure_slab(n_steps: int) -> dict:
+    """BENCH_WORKLOAD=slab: the slab-sharded step (shard_map + ppermute
+    + Pallas kernel) on a 1-device mesh of the real chip vs the plain
+    unsharded step — the measured (not extrapolated) per-step overhead
+    of the multi-chip path's decomposition/halo machinery.  On real
+    multi-chip hardware the same code scales n_dev."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    from rigid_body_2d_3d_pysph_tpu.ops.kernels import get_kernel
+    from rigid_body_2d_3d_pysph_tpu.parallel import slab as slabmod
+    from rigid_body_2d_3d_pysph_tpu.parallel.sharded import make_mesh
+
+    scheme, scene = build_scene()
+    kernel = get_kernel(scheme.kernel_name, scheme.dim)
+    base = scheme.cell_config(scene, kernel)
+    dt = jnp.asarray(1e-4)
+
+    def time_chain(stepfn, state, leaf):
+        out = stepfn(state, dt)
+        jax.block_until_ready(out.fields[leaf])
+        t0 = _t.perf_counter()
+        s = out
+        for _ in range(n_steps):
+            s = stepfn(s, dt)
+        jax.block_until_ready(s.fields[leaf])
+        assert not bool(np.asarray(s.nbr_overflow).any())
+        return n_steps / (_t.perf_counter() - t0)
+
+    plain = scheme.make_step(scene)
+    plain_sps = time_chain(plain, scene, "x")
+
+    mesh = make_mesh(1)
+    cfg = slabmod.make_slab_config(scene, base, 1)
+    dec = slabmod.shard_slab_scene(slabmod.slab_decompose(scene, cfg),
+                                   mesh)
+    slab_step = slabmod.make_slab_step(scheme, dec, mesh, cfg)
+    slab_sps = time_chain(slab_step, dec, "x")
+    return dict(steps_per_sec=slab_sps, plain_steps_per_sec=plain_sps,
+                n=scene.n, platform=jax.devices()[0].platform)
+
+
 def measure(n_steps: int) -> dict:
     import jax
     import jax.numpy as jnp
     from rigid_body_2d_3d_pysph_tpu.models.rigid_body import make_multi_step
 
     workload = os.environ.get("BENCH_WORKLOAD", "rigid")
+    if workload == "slab":
+        return measure_slab(min(n_steps, 100))
     if workload == "dem":
         scheme, scene = build_dem_scene()
         dt = jnp.asarray(5e-6)
@@ -260,6 +305,19 @@ if __name__ == "__main__":
         sys.exit(0)
 
     r = measure(N_STEPS)
+
+    if os.environ.get("BENCH_WORKLOAD") == "slab":
+        eff = r["steps_per_sec"] / r["plain_steps_per_sec"]
+        print(json.dumps({
+            "metric": f"slab-sharded contact steps/sec @ {r['n']} "
+                      f"particles (1-device mesh on {r['platform']}; "
+                      f"plain step {r['plain_steps_per_sec']:.1f}/s -> "
+                      f"slab efficiency {100 * eff:.0f}%)",
+            "value": round(r["steps_per_sec"], 3),
+            "unit": "steps/sec",
+            "vs_baseline": round(eff, 3),
+        }))
+        sys.exit(0)
 
     # CPU baseline in a subprocess (same code, XLA CPU on all host cores).
     # BENCH_SKIP_CPU=1 skips it (the 3D/1M baselines take tens of minutes

@@ -39,7 +39,8 @@ class Solver:
                  pfreq: int = 100, output_dir: str = "output",
                  output_fields: Optional[Sequence[str]] = None,
                  events: Sequence[Tuple[float, Callable]] = (),
-                 detailed_output: bool = False):
+                 detailed_output: bool = False,
+                 checkpoint_every: int = 10):
         self.scheme = scheme
         self.scene = scene
         self.dt = float(dt)
@@ -53,6 +54,10 @@ class Solver:
         self.output_files: List[str] = []
         self.callbacks_post_chunk: List[Callable] = []
         self._steps_per_sec = 0.0
+        # resume granularity: a checkpoint costs a full-state host
+        # transfer + npz write, so take one every N output chunks (the
+        # final chunk always checkpoints)
+        self.checkpoint_every = max(1, int(checkpoint_every))
 
     # -- helpers ----------------------------------------------------------
     def _dump(self):
@@ -134,9 +139,12 @@ class Solver:
             if done % self.pfreq == 0 or done == n_steps:
                 rebuilds = 0
                 self._dump()
-                ckpt_mod.save_checkpoint(
-                    os.path.join(self.output_dir, "checkpoint.npz"),
-                    self.scene, self.t, done)
+                chunk_no = done // self.pfreq
+                if chunk_no % self.checkpoint_every == 0 \
+                        or done == n_steps:
+                    ckpt_mod.save_checkpoint(
+                        os.path.join(self.output_dir, "checkpoint.npz"),
+                        self.scene, self.t, done)
                 for cb in self.callbacks_post_chunk:
                     cb(self)
                 el = time.time() - t_wall0

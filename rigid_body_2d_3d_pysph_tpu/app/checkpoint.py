@@ -5,8 +5,9 @@ particle states (``pfreq`` snapshots; PySPH generic restart unused —
 SURVEY.md §5).  Snapshots here hold only output fields, so a separate
 *complete* checkpoint (every Scene field, including contact-slot springs
 and per-body state) enables bit-exact resume: ``Solver`` rewrites
-``checkpoint.npz`` at every output boundary and ``--resume`` continues
-from it.
+``checkpoint.npz`` every ``checkpoint_every`` output chunks (default 10
+— a checkpoint costs a full-state host transfer + npz write) plus at
+the final step, and ``--resume`` continues from it.
 """
 
 from __future__ import annotations
@@ -21,7 +22,12 @@ from ..state.scene import Scene
 
 
 def save_checkpoint(path: str, scene: Scene, t: float, count: int) -> None:
-    data = {f"field/{k}": np.asarray(v) for k, v in scene.fields.items()}
+    # one device->host transfer for the whole pytree (per-field
+    # np.asarray costs a round trip each — see output.write_snapshot)
+    import jax
+
+    host = jax.device_get(scene.fields)
+    data = {f"field/{k}": np.asarray(v) for k, v in host.items()}
     data["solver/t"] = np.float64(t)
     data["solver/count"] = np.int64(count)
     tmp = path + ".tmp.npz"

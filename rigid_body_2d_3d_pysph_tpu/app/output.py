@@ -31,14 +31,6 @@ BODY_STATE_KEYS = ("xcm", "vcm", "R", "omega", "ang_mom", "total_mass",
                    "force", "torque", "izz")
 
 
-def _group_body_range(scene, gspec):
-    """Global body-id range [lo, hi) of a rigid group."""
-    bid = np.asarray(scene.body_id[gspec.start:gspec.stop])
-    if bid.size == 0 or bid.max() < 0:
-        return 0, 0
-    return int(bid.min()), int(bid.max()) + 1
-
-
 def write_snapshot(path: str, scene, t: float, dt: float, count: int,
                    output_fields: Optional[Sequence[str]] = None) -> None:
     data: Dict[str, np.ndarray] = {
@@ -47,19 +39,32 @@ def write_snapshot(path: str, scene, t: float, dt: float, count: int,
         "solver/count": np.int64(count),
     }
     fields = output_fields or DEFAULT_OUTPUT_FIELDS
+    # ONE device->host transfer for everything the snapshot reads: a
+    # per-field np.asarray costs a full round trip each (tens of ms over
+    # a tunneled device — ~30 fields made the IO dominate whole runs)
+    import jax
+
+    want = {f for f in fields if f in scene}
+    want |= {k for k in ("normal", "body_id") + BODY_STATE_KEYS
+             if k in scene}
+    host = jax.device_get({k: scene[k] for k in want})
     for g in scene.meta.groups:
         for f in fields:
-            if f in scene:
-                arr = np.asarray(scene[f])
-                if arr.ndim >= 1 and arr.shape[0] == scene.n:
-                    data[f"{g.name}/{f}"] = arr[g.start:g.stop]
-        if "normal" in scene:
-            data[f"{g.name}/normal"] = np.asarray(scene.normal)[g.start:g.stop]
-        if g.role == "rigid" and "xcm" in scene:
-            lo, hi = _group_body_range(scene, g)
+            arr = host.get(f)
+            if arr is not None and np.ndim(arr) >= 1 \
+                    and arr.shape[0] == scene.n:
+                data[f"{g.name}/{f}"] = arr[g.start:g.stop]
+        if "normal" in host:
+            data[f"{g.name}/normal"] = host["normal"][g.start:g.stop]
+        if g.role == "rigid" and "xcm" in host:
+            bid = host["body_id"][g.start:g.stop]
+            if bid.size == 0 or bid.max() < 0:
+                lo, hi = 0, 0
+            else:
+                lo, hi = int(bid.min()), int(bid.max()) + 1
             for k in BODY_STATE_KEYS:
-                if k in scene:
-                    data[f"{g.name}/body.{k}"] = np.asarray(scene[k])[lo:hi]
+                if k in host:
+                    data[f"{g.name}/body.{k}"] = host[k][lo:hi]
             data[f"{g.name}/body.nb"] = np.int64(hi - lo)
     np.savez(path, **data)
 

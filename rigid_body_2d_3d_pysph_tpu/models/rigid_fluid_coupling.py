@@ -67,13 +67,19 @@ class RigidFluidCouplingScheme(Scheme):
         self.boundaries = list(boundaries or [])
         self.rigid_bodies = list(rigid_bodies or [])
         self.dim = dim
-        self.rho0, self.p0, self.c0, self.gamma = rho0, p0, c0, gamma
-        self.h = h
-        self.nu = nu
-        self.kr, self.kf, self.en, self.fric_coeff = kr, kf, en, fric_coeff
-        self.gx, self.gy, self.gz = gx, gy, gz
-        self.fluid_alpha = alpha
-        self.beta = beta
+        # coerce to PYTHON floats: numpy scalars are strong-typed in JAX
+        # promotion, so an np.float64 c0 would silently promote the f32
+        # Pallas kernels' math to f64 (a hard error in the kernel, a
+        # silent double-compute on the XLA path)
+        self.rho0, self.p0, self.c0, self.gamma = (
+            float(rho0), float(p0), float(c0), float(gamma))
+        self.h = float(h)
+        self.nu = float(nu)
+        self.kr, self.kf, self.en, self.fric_coeff = (
+            float(kr), float(kf), float(en), float(fric_coeff))
+        self.gx, self.gy, self.gz = float(gx), float(gy), float(gz)
+        self.fluid_alpha = float(alpha)
+        self.beta = float(beta)
         self.edac = True
         self.edac_alpha = edac_alpha
         from .rigid_body import _default_engine
@@ -89,10 +95,15 @@ class RigidFluidCouplingScheme(Scheme):
         # orderings show the SAME slow startup-sloshing KE growth at the
         # reference's own c0/dt (e-fold ~230 steps, ordering-independent
         # to <2%) — the round-1 claim of a reference-ordering-specific
-        # instability did not reproduce; KDK remains the default for its
-        # better-justified staging, with both orderings available on
-        # both engines and cross-engine equality tested.
-        self.gtvf_ordering = "kdk"
+        # instability did not reproduce.  "kdkf" (round 4, the default)
+        # is KDK with the grid/pack schedule fused: one grid build and
+        # one pack per step, drift before the evaluations, thermo
+        # updates patched through the pack as dense column writes, and
+        # on TPU the four pair passes fused into TWO Pallas kernels
+        # (rates+wall, forces+contact).  Its wall sums sample source
+        # rho/p pre-update — the reference's own staging; kdk samples
+        # post-drift (tests/test_fluid_coupling.py pins the deviation).
+        self.gtvf_ordering = "kdkf"
         # "gtvf" (the reference's wired stepper) or "rk2": the
         # reference defines RK2FluidStep (rigid_fluid_coupling.py:228-271)
         # but its scheme hard-codes GTVF (:815) so RK2 is dead code
@@ -125,11 +136,20 @@ class RigidFluidCouplingScheme(Scheme):
         group.add_argument("--edac", dest="edac", action="store_true",
                            default=True)
         group.add_argument("--no-edac", dest="edac", action="store_false")
+        group.add_argument("--gtvf-ordering", dest="gtvf_ordering",
+                           choices=("kdk", "kdkf", "reference"),
+                           default=None,
+                           help="GTVF stage ordering: kdk (two-build "
+                                "kick-drift-kick), kdkf (fused one-grid "
+                                "KDK, the TPU fast path), reference "
+                                "(PySPH staging)")
 
     def consume_user_options(self, options):
         for k in ("kr", "kf", "fric_coeff", "fluid_alpha", "edac"):
             if hasattr(options, k):
                 setattr(self, k, getattr(options, k))
+        if getattr(options, "gtvf_ordering", None):
+            self.gtvf_ordering = options.gtvf_ordering
 
     # -- setup ------------------------------------------------------------
     def setup(self, scene: Scene, coeff_of_rest=None,
@@ -212,6 +232,17 @@ class RigidFluidCouplingScheme(Scheme):
                     "RK2FluidStep :228-271 has no p0/ap state) — use "
                     "Tait EOS (edac=False)")
             return self._make_step_cell_rk2(scene)
+        if self.gtvf_ordering == "kdkf":
+            if self.engine in ("cell", "pallas") and self.fluids:
+                return self._make_step_cell_kdkf(scene)
+            # no fluids (or [N,K] engine): kdkf degenerates to kdk —
+            # the fusion only changes the FLUID grid/pack schedule
+            saved = self.gtvf_ordering
+            self.gtvf_ordering = "kdk"
+            try:
+                return self.make_step(scene)
+            finally:
+                self.gtvf_ordering = saved
         if self.engine in ("cell", "pallas"):
             return self._make_step_cell(scene)
         return self._make_step_nklist(scene)
@@ -342,6 +373,277 @@ class RigidFluidCouplingScheme(Scheme):
                 nbr_overflow=scene.nbr_overflow | ovf1 | ovf2)
 
         return step
+
+    def _make_step_cell_kdkf(self, scene: Scene):
+        """Fused KDK: ONE grid build and ONE fluid pack per step.
+
+        The two-build kdk step evaluates the density/pressure rates on a
+        grid at x_n, drifts, then rebuilds at x_{n+1} for wall-BC /
+        momentum / contact — at 33k the second build plus the two extra
+        ``pack_fluid_pallas`` repacks are ~40% of the step.  Here the
+        drift moves positions FIRST (x_{n+1} = x_n + dt u_{n+1/2} needs
+        no pair sums), all four pair passes share the post-drift grid,
+        and the thermodynamic state updates flow through the pack as
+        dense COLUMN patches (elementwise [NC, M] writes, no gathers):
+
+          kick -> drift(x) -> build+pack -> rates -> patch rho,p ->
+          wall BC -> patch p,p_fsi -> forces -> contact -> kick
+
+        The three passes' per-particle outputs leave dense space through
+        ONE combined 13-column unpack.  Staging note: the rates are
+        evaluated at (u_{n+1/2}, x_{n+1}) where the two-build kdk uses
+        (u_{n+1/2}, x_n) — both are consistent O(dt) stagings of the
+        acoustic subsystem (reference itself uses (u_n, x_n),
+        ``code/rigid_fluid_coupling.py:652-673``); the hydrostatic-rest,
+        energy-regression and sinking-box added-mass gates all hold (see
+        tests/test_fluid_coupling.py, validate.py)."""
+        kernel = get_kernel(self.kernel_name, self.dim)
+        ccfg = self.cell_config(scene, kernel)
+        params = dict(kr=self.kr, kf=self.kf, fric_coeff=self.fric_coeff,
+                      gx=self.gx, gy=self.gy, gz=self.gz)
+        gx, gy, gz = self.gx, self.gy, self.gz
+        edac = self.edac
+        nu_edac = self.edac_nu
+        c0, rho0, gamma = self.c0, self.rho0, self.gamma
+        fluid_alpha = self.fluid_alpha
+        has_rigid = len(self.rigid_bodies) > 0
+        pipeline = self._cell_pipeline()
+        from ..ops import pallas_contact as pcops
+        from ..ops import pallas_fluid as pfops
+        # fluid_pallas_interpret: test hook — run the Pallas fluid branch
+        # in interpret mode on CPU (the contact pipeline stays XLA) so
+        # the dense-patch wiring is exercised off-TPU
+        interp = bool(getattr(self, "fluid_pallas_interpret", False))
+        use_fluid_pallas = interp or \
+            pipeline is pcops.contact_pipeline_cell_pallas
+        NC = ccfg.NC_max
+
+        if use_fluid_pallas:
+            RHO, P, PFSI = pfops._FRHO, pfops._FP, pfops._FPFSI
+        else:
+            RHO, P, PFSI = fcops._FRHO, fcops._FP, fcops._FPFSI
+            FLU, BDR, RIG = fcops._IFLUID, fcops._IBDRY, fcops._IRIGID
+
+        S = scene.meta.total_no_bodies
+        init_dist = 4.0 * scene.meta.spacing0
+        Wp = -(-12 * S // 128) * 128
+
+        def eval_passes(scene, grid, dt):
+            """All fluid passes on one grid/pack with dense column
+            patches between them.  Returns ``(out, contact)``: ``out``
+            the [N, 13] block (arho, ap, uf, vf, wf, sw, p_num, au, av,
+            aw, fx, fy, fz); ``contact`` the contact-pipeline outputs
+            (cfn_x/y/z, wij, dinfo) when the fused Pallas F+C kernel ran
+            them in the same sweep, else None (caller runs the separate
+            contact pipeline)."""
+            if use_fluid_pallas:
+                df, dfT = pfops.pack_fluid_pallas(scene, grid, ccfg)
+                one = jnp.float32(1.0)
+                _, _, sb_f, fl_f, rg_f = pfops._decode_flags(
+                    df[:, :, pfops._FFLAGS])
+                fl_l = fl_f == one
+                bd_l = sb_f == one
+                rb_l = rg_f == one
+                dtf = jnp.asarray(dt, jnp.float32)
+
+                def patch(df, dfT, col, val):
+                    df = df.at[:, :, col].set(val)
+                    dfT = dfT.at[:NC, col, :ccfg.M].set(val)
+                    return df, dfT
+
+                rw_d = pfops.fluid_rates_wall_pallas(
+                    scene, grid, ccfg, kernel, df, dfT, nu_edac, c0,
+                    edac, has_rigid, gx, gy, gz, interpret=interp,
+                    dense=True)                           # [NC, M, 7]
+                rho_d = df[:, :, RHO]
+                p_d = df[:, :, P]
+                rho_new = jnp.where(fl_l, rho_d + dtf * rw_d[..., 0],
+                                    rho_d)
+                if edac:
+                    p_new = jnp.where(fl_l, p_d + dtf * rw_d[..., 1],
+                                      p_d)
+                else:
+                    B = jnp.float32(c0 * c0 * rho0 / gamma)
+                    p_new = jnp.where(
+                        fl_l,
+                        B * ((rho_new / jnp.float32(rho0))
+                             ** jnp.float32(gamma) - 1.0), p_d)
+                df, dfT = patch(df, dfT, RHO, rho_new)
+
+                sw_d = rw_d[..., 5]
+                has_d = sw_d > 1e-14
+                pbc_d = jnp.where(has_d,
+                                  rw_d[..., 6]
+                                  / jnp.where(has_d, sw_d, one),
+                                  rw_d[..., 6])
+                p2 = jnp.where(bd_l, jnp.maximum(pbc_d, 0.0), p_new)
+                pfsi2 = jnp.where(rb_l, pbc_d, df[:, :, PFSI])
+                df, dfT = patch(df, dfT, P, p2)
+                df, dfT = patch(df, dfT, PFSI, pfsi2)
+
+                if has_rigid:
+                    # fused F+C: fluid forces AND the Mofidi contact
+                    # pipeline share one stencil sweep
+                    fc_d = pfops.fluid_forces_contact_pallas(
+                        scene, grid, ccfg, kernel, df, dfT, fluid_alpha,
+                        c0, has_rigid, S, init_dist, interpret=interp)
+                    big = jnp.concatenate([rw_d, fc_d], axis=-1)
+                    flat = cellmod.unpack(grid, ccfg, big, scene.n,
+                                          0.0).astype(scene.x.dtype)
+                    out = jnp.concatenate(
+                        [flat[:, :7], flat[:, 7 + Wp:]], axis=1)
+                    cp = flat[:, 7:7 + 12 * S].reshape(scene.n, 12, S)
+                    dinfo = dict(
+                        contact_force_dist=cp[:, 4],
+                        closest_point_dist_to_source=cp[:, 5],
+                        x_source=cp[:, 6], y_source=cp[:, 7],
+                        z_source=cp[:, 8], vx_source=cp[:, 9],
+                        vy_source=cp[:, 10], vz_source=cp[:, 11])
+                    return out, (cp[:, 0], cp[:, 1], cp[:, 2], cp[:, 3],
+                                 dinfo)
+                force_d = pfops.fluid_forces_pallas(
+                    scene, grid, ccfg, kernel, df, dfT, fluid_alpha, c0,
+                    has_rigid, interpret=interp,
+                    dense=True)                           # [NC, M, 6]
+                dense_all = jnp.concatenate(
+                    [rw_d, force_d], axis=-1)
+            else:
+                df, di = fcops.pack_fluid_scene(scene, grid, ccfg)
+                fl_l = di[:, :, FLU] == 1
+                bd_l = di[:, :, BDR] == 1
+                rb_l = di[:, :, RIG] == 1
+                arho_d, ap_d = fcops.fluid_rates_cell(
+                    scene, grid, ccfg, kernel, df, di, nu_edac, c0,
+                    edac, has_rigid, dense=True)
+                # wall sums on the PRE-update pack: same staging as the
+                # fused Pallas R+W pass (and the reference, which runs
+                # its stage-2 wall BC before the drift updates rho/p)
+                uf_d, vf_d, wf_d, sw_d, pnum_d = fcops.wall_bc_cell(
+                    scene, grid, ccfg, kernel, df, di, gx, gy, gz,
+                    dense=True)
+                rho_d = df[:, :, RHO]
+                p_d = df[:, :, P]
+                rho_new = jnp.where(fl_l, rho_d + dt * arho_d, rho_d)
+                if edac:
+                    p_new = jnp.where(fl_l, p_d + dt * ap_d, p_d)
+                else:
+                    B = c0 * c0 * rho0 / gamma
+                    p_new = jnp.where(
+                        fl_l, B * ((rho_new / rho0) ** gamma - 1.0), p_d)
+                df = df.at[:, :, RHO].set(rho_new)
+
+                has_d = sw_d > 1e-14
+                pbc_d = jnp.where(has_d,
+                                  pnum_d / jnp.where(has_d, sw_d, 1.0),
+                                  pnum_d)
+                p2 = jnp.where(bd_l, jnp.maximum(pbc_d, 0.0), p_new)
+                pfsi2 = jnp.where(rb_l, pbc_d, df[:, :, PFSI])
+                # forces read the patched pressures through their own
+                # dense operands (df's p column stays stale, unused)
+                outs = fcops.fluid_forces_cell(
+                    scene, grid, ccfg, kernel, df, di, p2, pfsi2,
+                    fluid_alpha, c0, has_rigid, dense=True)
+                dense_all = jnp.stack(
+                    [arho_d, ap_d, uf_d, vf_d, wf_d, sw_d, pnum_d]
+                    + list(outs), axis=-1)
+            return cellmod.unpack(grid, ccfg, dense_all, scene.n,
+                                  0.0).astype(scene.x.dtype), None
+
+        @jax.jit
+        def step_kdkf(scene: Scene, dt):
+            fl = scene.is_fluid & scene.active
+            bd = scene.is_static_boundary & scene.active
+            rb = scene.is_rigid & scene.active
+            solid = bd | rb
+
+            # ---- kick (half, stored accelerations/forces) ----
+            scene = scene.replace(
+                u=jnp.where(fl, scene.u + 0.5 * dt * scene.au, scene.u),
+                v=jnp.where(fl, scene.v + 0.5 * dt * scene.av, scene.v),
+                w=jnp.where(fl, scene.w + 0.5 * dt * scene.aw, scene.w),
+            )
+            if has_rigid:
+                scene = _body_half_kick(scene, dt, two_d=False)
+                scene = _particles_from_body_velocity(scene)
+
+            # ---- drift positions (thermo update rides the pack) ----
+            scene = scene.replace(
+                x=jnp.where(fl, scene.x + dt * scene.u, scene.x),
+                y=jnp.where(fl, scene.y + dt * scene.v, scene.y),
+                z=jnp.where(fl, scene.z + dt * scene.w, scene.z),
+            )
+            if has_rigid:
+                scene = _body_drift(scene, dt, two_d=False)
+                scene = _particles_from_body_position(scene)
+
+            # ---- ONE grid + pack; rates -> thermo -> BC -> forces ----
+            grid = cellmod.build_cell_grid(scene.x, scene.y, scene.z,
+                                           scene.active, ccfg)
+            ovf = scene.nbr_overflow | grid.overflow
+            out, contact = eval_passes(scene, grid, dt)   # [N, 13]
+            arho = jnp.where(fl, out[:, 0], 0.0)
+            ap = jnp.where(fl, out[:, 1], 0.0)
+            rho_new = scene.rho + dt * arho
+            upd = dict(
+                arho=arho, ap=ap,
+                rho=jnp.where(fl, rho_new, scene.rho),
+                vol=jnp.where(fl, scene.m / rho_new, scene.vol),
+            )
+            if edac:
+                upd["p"] = jnp.where(fl, scene.p + dt * ap, scene.p)
+            else:
+                p_t, cs_t = fops.tait_eos(
+                    scene.replace(rho=upd["rho"]), rho0, c0, gamma, fl)
+                upd["p"], upd["cs"] = p_t, cs_t
+            scene = scene.replace(**upd)
+
+            sw = out[:, 5]
+            has = sw > 1e-14
+            p_bc = jnp.where(has, out[:, 6] / jnp.where(has, sw, 1.0),
+                             out[:, 6])
+            inv = jnp.where(has, 1.0 / jnp.maximum(sw, 1e-300), 0.0)
+            ufn, vfn, wfn = out[:, 2] * inv, out[:, 3] * inv, \
+                out[:, 4] * inv
+            scene = scene.replace(
+                p=jnp.where(bd, jnp.maximum(p_bc, 0.0), scene.p),
+                p_fsi=jnp.where(rb, p_bc, scene.p_fsi),
+                uf=jnp.where(solid, ufn, scene.uf),
+                vf=jnp.where(solid, vfn, scene.vf),
+                wf=jnp.where(solid, wfn, scene.wf),
+                ug=jnp.where(solid, 2.0 * scene.u - ufn, scene.ug),
+                vg=jnp.where(solid, 2.0 * scene.v - vfn, scene.vg),
+                wg=jnp.where(solid, 2.0 * scene.w - wfn, scene.wg),
+                wij_adami=jnp.where(solid, sw, scene.wij_adami),
+                au=jnp.where(fl, gx + out[:, 7], 0.0),
+                av=jnp.where(fl, gy + out[:, 8], 0.0),
+                aw=jnp.where(fl, gz + out[:, 9], 0.0),
+            )
+            if has_rigid:
+                extra = (jnp.where(rb, out[:, 10], 0.0),
+                         jnp.where(rb, out[:, 11], 0.0),
+                         jnp.where(rb, out[:, 12], 0.0))
+                if contact is not None:
+                    from .rigid_body import _contact_force_tail
+                    scene = _contact_force_tail(
+                        scene, *contact, params, dt, extra_fx=extra)
+                else:
+                    scene = rigid_contact_force_eval_cell(
+                        scene, grid, ccfg, kernel, params, dt,
+                        extra_fx=extra, pipeline=pipeline)
+            scene = scene.replace(nbr_overflow=ovf)
+
+            # ---- second half-kick with the fresh accelerations ----
+            scene = scene.replace(
+                u=jnp.where(fl, scene.u + 0.5 * dt * scene.au, scene.u),
+                v=jnp.where(fl, scene.v + 0.5 * dt * scene.av, scene.v),
+                w=jnp.where(fl, scene.w + 0.5 * dt * scene.aw, scene.w),
+            )
+            if has_rigid:
+                scene = _body_half_kick(scene, dt, two_d=False)
+                scene = _particles_from_body_velocity(scene)
+            return scene
+
+        return step_kdkf
 
     def _make_step_cell(self, scene: Scene):
         """Coupling step on the dense cell engine: three fluid passes +

@@ -66,8 +66,9 @@ def _geom(qf, sf):
 
 def fluid_rates_cell(scene, grid, cfg: CellGridConfig, kernel: Kernel,
                      df, di, nu_edac: float, c0: float, edac: bool,
-                     has_rigid: bool):
-    """Pass R: (arho, ap) per particle, original order."""
+                     has_rigid: bool, dense: bool = False):
+    """Pass R: (arho, ap) per particle, original order.  ``dense=True``
+    returns the raw per-lane [NC, M] pair instead (fused kdkf step)."""
 
     def block(start, qf, qi, nbrs):
         sf = gather_source_block(df, nbrs, cfg, _F_SENT)
@@ -115,12 +116,14 @@ def fluid_rates_cell(scene, grid, cfg: CellGridConfig, kernel: Kernel,
         return arho, ap
 
     arho_d, ap_d = map_over_cells(cfg, block, df, di, grid.nbr_slots)
+    if dense:
+        return arho_d, ap_d
     n = scene.n
     return (unpack(grid, cfg, arho_d, n), unpack(grid, cfg, ap_d, n))
 
 
 def wall_bc_cell(scene, grid, cfg: CellGridConfig, kernel: Kernel, df, di,
-                 gx: float, gy: float, gz: float):
+                 gx: float, gy: float, gz: float, dense: bool = False):
     """Pass W: Shepard sums against fluid sources for wall/body dests.
     Returns per-particle (uf, vf, wf, wij_sum, p_num): ghost-velocity
     numerators, kernel sum, and the Adami pressure numerator (dest wall
@@ -147,13 +150,15 @@ def wall_bc_cell(scene, grid, cfg: CellGridConfig, kernel: Kernel, df, di,
         return uf, vf, wf, sw, p_num
 
     outs = map_over_cells(cfg, block, df, di, grid.nbr_slots)
+    if dense:
+        return outs
     n = scene.n
     return tuple(unpack(grid, cfg, o, n) for o in outs)
 
 
 def fluid_forces_cell(scene, grid, cfg: CellGridConfig, kernel: Kernel,
                       df, di, p_dense, pfsi_dense, fluid_alpha: float,
-                      c0: float, has_rigid: bool):
+                      c0: float, has_rigid: bool, dense: bool = False):
     """Pass F: fluid accelerations (pressure gradient + artificial
     viscosity + rigid->fluid FSI) and the fluid->rigid coupling force.
 
@@ -239,5 +244,7 @@ def fluid_forces_cell(scene, grid, cfg: CellGridConfig, kernel: Kernel,
 
     outs = map_over_cells(cfg, block, df, di, p_dense, pfsi_dense,
                           grid.nbr_slots)
+    if dense:
+        return outs
     n = scene.n
     return tuple(unpack(grid, cfg, o, n) for o in outs)

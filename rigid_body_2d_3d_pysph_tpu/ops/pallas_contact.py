@@ -171,7 +171,7 @@ def _kernel(S, M, O, cutoff, init_dist, kernel: Kernel, two_d,
 
 
 def _pair_body(S, M, cutoff, init_dist, kernel: Kernel, qT, sL,
-               two_d=False):
+               two_d=False, union=False):
     """The full per-cell pair computation, [M, OM] vreg math: geometry,
     gates, Mofidi sums (MXU), closest-point pick, in-kernel epilogue.
 
@@ -182,8 +182,18 @@ def _pair_body(S, M, cutoff, init_dist, kernel: Kernel, qT, sL,
     per-cell DMA count by copying TWO consecutive slots per entry was
     measured SLOWER at 1M — 69.6 vs 62.8 ms — because odd runs grow
     the pair lanes 256 -> 384 and the DMA floor is per-cell
-    latency-bound, not per-copy; it was removed.)"""
-    if two_d:
+    latency-bound, not per-copy; it was removed.)
+
+    ``union`` reads the COUPLING pack instead (``pallas_fluid``'s
+    14-field layout, z/w always present): vol comes from m/rho in
+    vregs and the gates decode that layout's wider flags word — the
+    fused forces+contact pass shares one stencil DMA stream between
+    the fluid and contact physics."""
+    if union:
+        (FX, FY, FZ, FU, FV, FW, FM, FRHO) = range(8)
+        FH, FFLAGS = 8, 13
+        FVOL = None
+    elif two_d:
         (FX, FY, FU, FV, FVOL, FH, FFLAGS) = range(7)
     else:
         (FX, FY, FZ, FU, FV, FW, FVOL, FH, FFLAGS) = range(9)
@@ -205,15 +215,28 @@ def _pair_body(S, M, cutoff, init_dist, kernel: Kernel, qT, sL,
     hij = 0.5 * (qcol(FH) + srow(FH))
     wij = kernel.w(rij, hij)
 
-    s_dem, s_bdry, s_fluid, _ = _decode_flags(srow(FFLAGS))
-    q_dem, _, _, q_rigid = _decode_flags(qcol(FFLAGS))
+    if union:
+        # pallas_fluid's packed flags word; the contact gate's
+        # "boundary" bit is cfib (contact_force_is_boundary)
+        from .pallas_fluid import _decode_flags as _dec_union
+
+        def dec(f):
+            dem, cfib, _sb, fluid, rigid = _dec_union(f)
+            return dem, cfib, fluid, rigid
+
+        s_dem, s_bdry, s_fluid, _ = dec(srow(FFLAGS))
+        q_dem, _, _, q_rigid = dec(qcol(FFLAGS))
+    else:
+        s_dem, s_bdry, s_fluid, _ = _decode_flags(srow(FFLAGS))
+        q_dem, _, _, q_rigid = _decode_flags(qcol(FFLAGS))
     gate = ((s_bdry == 1.0)
             & (s_dem != q_dem)
             & (s_fluid == 0.0)
             & (q_rigid == 1.0)
             & (rij <= cutoff))
     rinv = 1.0 / jnp.maximum(rij, 1e-30)
-    t1 = jnp.where(gate, qcol(FVOL) * rinv * wij, 0.0)
+    vol_q = (qcol(FM) / qcol(FRHO)) if union else qcol(FVOL)
+    t1 = jnp.where(gate, vol_q * rinv * wij, 0.0)
     t2 = t1 * rij
 
     # ---- slot sums: one MXU contraction -------------------------------

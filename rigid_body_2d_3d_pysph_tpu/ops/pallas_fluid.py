@@ -35,24 +35,49 @@ from .kernels import Kernel
 
 _BIG = 1.0e9
 
-# packed f32 field order (fluid_cell layout + the three phase flags)
+# packed f32 field order: the fluid_cell 13 fields + ONE packed flags
+# column.  FLAGS bit-packs dem_id*16 + contact_force_is_boundary*8 +
+# is_static_boundary*4 + is_fluid*2 + is_rigid, so the SAME pack also
+# carries every gate the CONTACT kernel needs — the fused
+# forces+contact pass reads one stencil DMA stream for both physics.
 (_FX, _FY, _FZ, _FU, _FV, _FW, _FM, _FRHO, _FH, _FP,
- _FMFSI, _FRHOFSI, _FPFSI, _FFLUID, _FBDRY, _FRIGID) = range(16)
-_NF = 16
+ _FMFSI, _FRHOFSI, _FPFSI, _FFLAGS) = range(14)
+_NF = 14
 _SENT = [_BIG, _BIG, _BIG, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 0.0,
-         0.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+         0.0, 1.0, 0.0, -16.0]  # flags sentinel: dem=-1, all bits 0
+
+
+def _decode_flags(f):
+    """flags f32 -> (dem, cfib, static_bdry, fluid, rigid), exact for
+    dem_id < 2^19 (the sentinel's dem = -1 decodes as such)."""
+    dem = jnp.floor(f * (1.0 / 16.0))
+    r = f - 16.0 * dem
+    cfib = jnp.floor(r * 0.125)
+    r = r - 8.0 * cfib
+    sbdry = jnp.floor(r * 0.25)
+    r = r - 4.0 * sbdry
+    fluid = jnp.floor(r * 0.5)
+    rigid = r - 2.0 * fluid
+    return dem, cfib, sbdry, fluid, rigid
+
+
+def fluid_flags(scene):
+    """The packed per-particle flags field (f32 [N])."""
+    fdt = scene.x.dtype
+    return (scene.dem_id.astype(fdt) * 16.0
+            + scene.contact_force_is_boundary * 8.0
+            + scene.is_static_boundary.astype(fdt) * 4.0
+            + scene.is_fluid.astype(fdt) * 2.0
+            + scene.is_rigid.astype(fdt))
 
 
 def pack_fluid_pallas(scene, grid: CellGrid, cfg: CellGridConfig):
-    """[NC, M, 16] f32 pack + its field-major DMA view [NC+1, 16, lane]."""
-    fdt = scene.x.dtype
+    """[NC, M, 14] f32 pack + its field-major DMA view [NC+1, 14, lane]."""
     df = pack_fields(
         grid, cfg,
         [scene.x, scene.y, scene.z, scene.u, scene.v, scene.w,
          scene.m, scene.rho, scene.h, scene.p,
-         scene.m_fsi, scene.rho_fsi, scene.p_fsi,
-         scene.is_fluid.astype(fdt), scene.is_static_boundary.astype(fdt),
-         scene.is_rigid.astype(fdt)],
+         scene.m_fsi, scene.rho_fsi, scene.p_fsi, fluid_flags(scene)],
         _SENT).astype(jnp.float32)
     NC, M, F = df.shape
     sent = jnp.broadcast_to(jnp.asarray(_SENT, df.dtype), (M, F))[None]
@@ -202,19 +227,23 @@ def _pair_geom(q, sL, kernel: Kernel):
 def fluid_rates_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
                        kernel: Kernel, df, dfT, nu_edac: float, c0: float,
                        edac: bool, has_rigid: bool,
-                       interpret: bool = False):
+                       interpret: bool = False, dense: bool = False):
     """Pass R on the Pallas scaffold: per-particle (arho, ap)
     (``fluid_cell.fluid_rates_cell`` physics, reference
-    ContinuityEquation + EDAC :67-141)."""
+    ContinuityEquation + EDAC :67-141).  ``dense=True`` skips the
+    unpack and returns the raw [NC, M, 2] f32 block (the fused kdkf
+    step patches thermo columns in dense space and unpacks once)."""
     cutoff = cfg.radius
     cs2 = c0 * c0
 
     def compute(q, sL):
         qc, sr, xij, yij, zij, rij, r2, hij = _pair_geom(q, sL, kernel)
         in_range = rij <= cutoff
-        dest_fluid = qc(_FFLUID) == 1.0
-        src_flbd = (sr(_FFLUID) == 1.0) | (sr(_FBDRY) == 1.0)
-        src_rigid = sr(_FRIGID) == 1.0
+        _, _, _, q_fl, _ = _decode_flags(qc(_FFLAGS))
+        _, _, s_sb, s_fl, s_rg = _decode_flags(sr(_FFLAGS))
+        dest_fluid = q_fl == 1.0
+        src_flbd = (s_fl == 1.0) | (s_sb == 1.0)
+        src_rigid = s_rg == 1.0
 
         dw = kernel.gradw_scalar(rij, hij)
         dwx, dwy, dwz = dw * xij, dw * yij, dw * zij
@@ -248,22 +277,112 @@ def fluid_rates_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
 
     out = cell_pair_pallas(df, dfT, grid.n_occupied, grid.nbr_slots, cfg,
                            compute, 2, interpret=interpret)
+    if dense:
+        return out
     n = scene.n
     out = unpack(grid, cfg, out, n, 0.0).astype(scene.x.dtype)
     return out[:, 0], out[:, 1]
 
 
+def fluid_rates_wall_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
+                            kernel: Kernel, df, dfT, nu_edac: float,
+                            c0: float, edac: bool, has_rigid: bool,
+                            gx: float, gy: float, gz: float,
+                            interpret: bool = False, dense: bool = False):
+    """Fused pass R+W: rates (fluid dests) AND the Adami wall-BC sums
+    (solid dests) in ONE kernel sweep -> [NC, M, 7] (arho, ap, uf, vf,
+    wf, sw, p_num).
+
+    The two passes share the same pack and stencil, and their
+    destination sets are disjoint (fluid vs wall/body), so running both
+    per cell visit halves the stencil DMA-issue count — which is what
+    the small fluid kernels are bound by (~0.1 us issue x 9 copies per
+    cell; measured ~3.4 ms/pass at 3.8k cells while the copied bytes
+    would take <0.5 ms at bandwidth).  Staging note: the fused pass
+    evaluates the wall sums with the SOURCE fluid p/rho *before* the
+    in-step continuity/EDAC update — exactly the reference's staging
+    (its stage-2 wall BC runs before the stepper-stage-2 drift updates
+    rho/p, ``code/rigid_fluid_coupling.py:691-743`` + GTVFFluidStep
+    :281-291), where the split kdk passes feed the wall BC the
+    already-drifted values."""
+    cutoff = cfg.radius
+    cs2 = c0 * c0
+
+    def compute(q, sL):
+        qc, sr, xij, yij, zij, rij, r2, hij = _pair_geom(q, sL, kernel)
+        in_range = rij <= cutoff
+        _, _, q_sb, q_fl, q_rg = _decode_flags(qc(_FFLAGS))
+        _, _, s_sb, s_fl, s_rg = _decode_flags(sr(_FFLAGS))
+        dest_fluid = q_fl == 1.0
+        src_fluid = s_fl == 1.0
+        src_flbd = src_fluid | (s_sb == 1.0)
+        src_rigid = s_rg == 1.0
+
+        dw = kernel.gradw_scalar(rij, hij)
+        dwx, dwy, dwz = dw * xij, dw * yij, dw * zij
+        vdotdw = ((qc(_FU) - sr(_FU)) * dwx + (qc(_FV) - sr(_FV)) * dwy
+                  + (qc(_FW) - sr(_FW)) * dwz)
+        xdotdw = xij * dwx + yij * dwy + zij * dwz
+        eps = 0.01 * hij * hij
+        rhoi, pi, mi = qc(_FRHO), qc(_FP), qc(_FM)
+
+        def rates(mj, rhoj, pj, gate):
+            g = gate & dest_fluid & in_range
+            arho = jnp.sum(jnp.where(g, rhoi * mj / rhoj * vdotdw, 0.0),
+                           axis=1, keepdims=True)
+            if not edac:
+                return arho, jnp.zeros_like(arho)
+            ap1 = rhoi / rhoj * cs2 * mj * vdotdw
+            Vi = mi / rhoi
+            Vj = mj / rhoj
+            etaij = 2.0 * nu_edac * (rhoi * rhoj) / (rhoi + rhoj)
+            tmp = (1.0 / jnp.maximum(mi, 1e-30)) * (Vi * Vi + Vj * Vj) \
+                * etaij * xdotdw / (r2 + eps)
+            ap = jnp.sum(jnp.where(g, ap1 + tmp * (pi - pj), 0.0),
+                         axis=1, keepdims=True)
+            return arho, ap
+
+        arho, ap = rates(sr(_FM), sr(_FRHO), sr(_FP), src_flbd)
+        if has_rigid:
+            a2, p2 = rates(sr(_FMFSI), sr(_FRHOFSI), sr(_FPFSI), src_rigid)
+            arho, ap = arho + a2, ap + p2
+
+        dest_solid = (q_sb == 1.0) | (q_rg == 1.0)
+        gw = dest_solid & src_fluid & in_range
+        w = jnp.where(gw, kernel.w(rij, hij), 0.0)
+
+        def lsum(v):
+            return jnp.sum(v, axis=1, keepdims=True)
+
+        gdotx = gx * xij + gy * yij + gz * zij
+        return jnp.concatenate(
+            [arho, ap,
+             lsum(sr(_FU) * w), lsum(sr(_FV) * w), lsum(sr(_FW) * w),
+             lsum(w), lsum((sr(_FP) + sr(_FRHO) * gdotx) * w)], axis=1)
+
+    out = cell_pair_pallas(df, dfT, grid.n_occupied, grid.nbr_slots, cfg,
+                           compute, 7, interpret=interpret)
+    if dense:
+        return out
+    n = scene.n
+    out = unpack(grid, cfg, out, n, 0.0).astype(scene.x.dtype)
+    return tuple(out[:, i] for i in range(7))
+
+
 def wall_bc_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
                    kernel: Kernel, df, dfT, gx: float, gy: float,
-                   gz: float, interpret: bool = False):
+                   gz: float, interpret: bool = False,
+                   dense: bool = False):
     """Pass W: Shepard sums (uf, vf, wf, wij_sum, p_num) for solid
     destinations (``fluid_cell.wall_bc_cell``; Adami BC :145-226)."""
     cutoff = cfg.radius
 
     def compute(q, sL):
         qc, sr, xij, yij, zij, rij, r2, hij = _pair_geom(q, sL, kernel)
-        dest_solid = (qc(_FBDRY) == 1.0) | (qc(_FRIGID) == 1.0)
-        g = dest_solid & (sr(_FFLUID) == 1.0) & (rij <= cutoff)
+        _, _, q_sb, _, q_rg = _decode_flags(qc(_FFLAGS))
+        _, _, _, s_fl, _ = _decode_flags(sr(_FFLAGS))
+        dest_solid = (q_sb == 1.0) | (q_rg == 1.0)
+        g = dest_solid & (s_fl == 1.0) & (rij <= cutoff)
         w = jnp.where(g, kernel.w(rij, hij), 0.0)
 
         def lsum(v):
@@ -276,15 +395,82 @@ def wall_bc_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
 
     out = cell_pair_pallas(df, dfT, grid.n_occupied, grid.nbr_slots, cfg,
                            compute, 5, interpret=interpret)
+    if dense:
+        return out
     n = scene.n
     out = unpack(grid, cfg, out, n, 0.0).astype(scene.x.dtype)
     return out[:, 0], out[:, 1], out[:, 2], out[:, 3], out[:, 4]
 
 
+def _forces_cols(q, sL, kernel: Kernel, cutoff, fluid_alpha, c0,
+                 has_rigid):
+    """Pass-F per-pair physics -> [M, 6] (au, av, aw, fx, fy, fz):
+    pressure gradient + artificial viscosity + the two FSI force terms.
+    Shared by the standalone F kernel and the fused F+C kernel so the
+    two production paths cannot drift apart."""
+    qc, sr, xij, yij, zij, rij, r2, hij = _pair_geom(q, sL, kernel)
+    in_range = rij <= cutoff
+    _, _, _, q_fl, q_rg = _decode_flags(qc(_FFLAGS))
+    _, _, s_sb, s_fl, s_rg = _decode_flags(sr(_FFLAGS))
+    dest_fluid = q_fl == 1.0
+    dest_rigid = q_rg == 1.0
+    src_fluid = s_fl == 1.0
+    src_flbd = src_fluid | (s_sb == 1.0)
+    src_rigid = s_rg == 1.0
+
+    dw = kernel.gradw_scalar(rij, hij)
+    dwx, dwy, dwz = dw * xij, dw * yij, dw * zij
+    rhoi, rhoj = qc(_FRHO), sr(_FRHO)
+    pi, pj = qc(_FP), sr(_FP)
+    mj = sr(_FM)
+
+    def lsum(v):
+        return jnp.sum(v, axis=1, keepdims=True)
+
+    g_pg = dest_fluid & src_flbd & in_range
+    pij = pi / (rhoi * rhoi) + pj / (rhoj * rhoj)
+    t = jnp.where(g_pg, -mj * pij, 0.0)
+    au, av, aw = lsum(t * dwx), lsum(t * dwy), lsum(t * dwz)
+
+    if abs(fluid_alpha) > 1e-14:
+        uij = qc(_FU) - sr(_FU)
+        vij = qc(_FV) - sr(_FV)
+        wij_v = qc(_FW) - sr(_FW)
+        vdotx = uij * xij + vij * yij + wij_v * zij
+        eps = 0.01 * hij * hij
+        muij = hij * vdotx / (r2 + eps)
+        piij = jnp.where(
+            (vdotx < 0.0) & dest_fluid & src_fluid & in_range,
+            -fluid_alpha * c0 * muij * mj * (2.0 / (rhoi + rhoj)), 0.0)
+        au = au + lsum(-piij * dwx)
+        av = av + lsum(-piij * dwy)
+        aw = aw + lsum(-piij * dwz)
+
+    if has_rigid:
+        g_rf = dest_fluid & src_rigid & in_range
+        rhofsi_j = sr(_FRHOFSI)
+        pij2 = pi / (rhoi * rhoi) + sr(_FPFSI) / (rhofsi_j * rhofsi_j)
+        t2 = jnp.where(g_rf, -sr(_FMFSI) * pij2, 0.0)
+        au = au + lsum(t2 * dwx)
+        av = av + lsum(t2 * dwy)
+        aw = aw + lsum(t2 * dwz)
+
+        g_fr = dest_rigid & src_fluid & in_range
+        mfsi_i, rhofsi_i = qc(_FMFSI), qc(_FRHOFSI)
+        t1 = pj / (rhoj * rhoj) + qc(_FPFSI) / jnp.maximum(
+            rhofsi_i * rhofsi_i, 1e-30)
+        fac = jnp.where(g_fr, -mfsi_i * mj * t1, 0.0)
+        fx, fy, fz = lsum(fac * dwx), lsum(fac * dwy), lsum(fac * dwz)
+    else:
+        fx = jnp.zeros_like(au)
+        fy, fz = fx, fx
+    return jnp.concatenate([au, av, aw, fx, fy, fz], axis=1)
+
+
 def fluid_forces_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
                         kernel: Kernel, df, dfT, fluid_alpha: float,
                         c0: float, has_rigid: bool,
-                        interpret: bool = False):
+                        interpret: bool = False, dense: bool = False):
     """Pass F: fluid au/av/aw (pressure gradient + artificial viscosity
     + rigid->fluid) and the fluid->rigid force
     (``fluid_cell.fluid_forces_cell``; reference :489-554).
@@ -295,64 +481,48 @@ def fluid_forces_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
     cutoff = cfg.radius
 
     def compute(q, sL):
-        qc, sr, xij, yij, zij, rij, r2, hij = _pair_geom(q, sL, kernel)
-        in_range = rij <= cutoff
-        dest_fluid = qc(_FFLUID) == 1.0
-        dest_rigid = qc(_FRIGID) == 1.0
-        src_fluid = sr(_FFLUID) == 1.0
-        src_flbd = src_fluid | (sr(_FBDRY) == 1.0)
-        src_rigid = sr(_FRIGID) == 1.0
-
-        dw = kernel.gradw_scalar(rij, hij)
-        dwx, dwy, dwz = dw * xij, dw * yij, dw * zij
-        rhoi, rhoj = qc(_FRHO), sr(_FRHO)
-        pi, pj = qc(_FP), sr(_FP)
-        mj = sr(_FM)
-
-        def lsum(v):
-            return jnp.sum(v, axis=1, keepdims=True)
-
-        g_pg = dest_fluid & src_flbd & in_range
-        pij = pi / (rhoi * rhoi) + pj / (rhoj * rhoj)
-        t = jnp.where(g_pg, -mj * pij, 0.0)
-        au, av, aw = lsum(t * dwx), lsum(t * dwy), lsum(t * dwz)
-
-        if abs(fluid_alpha) > 1e-14:
-            uij = qc(_FU) - sr(_FU)
-            vij = qc(_FV) - sr(_FV)
-            wij_v = qc(_FW) - sr(_FW)
-            vdotx = uij * xij + vij * yij + wij_v * zij
-            eps = 0.01 * hij * hij
-            muij = hij * vdotx / (r2 + eps)
-            piij = jnp.where(
-                (vdotx < 0.0) & dest_fluid & src_fluid & in_range,
-                -fluid_alpha * c0 * muij * mj * (2.0 / (rhoi + rhoj)), 0.0)
-            au = au + lsum(-piij * dwx)
-            av = av + lsum(-piij * dwy)
-            aw = aw + lsum(-piij * dwz)
-
-        if has_rigid:
-            g_rf = dest_fluid & src_rigid & in_range
-            rhofsi_j = sr(_FRHOFSI)
-            pij2 = pi / (rhoi * rhoi) + sr(_FPFSI) / (rhofsi_j * rhofsi_j)
-            t2 = jnp.where(g_rf, -sr(_FMFSI) * pij2, 0.0)
-            au = au + lsum(t2 * dwx)
-            av = av + lsum(t2 * dwy)
-            aw = aw + lsum(t2 * dwz)
-
-            g_fr = dest_rigid & src_fluid & in_range
-            mfsi_i, rhofsi_i = qc(_FMFSI), qc(_FRHOFSI)
-            t1 = pj / (rhoj * rhoj) + qc(_FPFSI) / jnp.maximum(
-                rhofsi_i * rhofsi_i, 1e-30)
-            fac = jnp.where(g_fr, -mfsi_i * mj * t1, 0.0)
-            fx, fy, fz = lsum(fac * dwx), lsum(fac * dwy), lsum(fac * dwz)
-        else:
-            fx = jnp.zeros_like(au)
-            fy, fz = fx, fx
-        return jnp.concatenate([au, av, aw, fx, fy, fz], axis=1)
+        return _forces_cols(q, sL, kernel, cutoff, fluid_alpha, c0,
+                            has_rigid)
 
     out = cell_pair_pallas(df, dfT, grid.n_occupied, grid.nbr_slots, cfg,
                            compute, 6, interpret=interpret)
+    if dense:
+        return out
     n = scene.n
     out = unpack(grid, cfg, out, n, 0.0).astype(scene.x.dtype)
     return tuple(out[:, i] for i in range(6))
+
+
+def fluid_forces_contact_pallas(scene, grid: CellGrid,
+                                cfg: CellGridConfig, kernel: Kernel,
+                                df, dfT, fluid_alpha: float, c0: float,
+                                has_rigid: bool, S: int,
+                                init_dist: float,
+                                interpret: bool = False):
+    """Fused pass F+C: the fluid momentum/FSI pass AND the full Mofidi
+    contact pair pipeline (``pallas_contact._pair_body`` on the union
+    layout) in ONE kernel sweep -> dense [NC, M, Wp + 6] f32 where the
+    first Wp(=12S 128-aligned) columns are the contact outputs
+    (cfn_x/y/z, wij-sum, dist, closest, 6 source picks — the layout
+    ``pallas_contact._unpack_contact_out`` consumes) and the last 6 are
+    (au, av, aw, fx, fy, fz).
+
+    Both passes must run at the post-wall-BC state on the same grid
+    (reference group order :726-797), and each would separately DMA the
+    same 9/27 stencil blocks — the per-cell DMA issue cost that bounds
+    all these kernels.  One sweep halves it; the contact math reads the
+    fluid pack's m/rho/flags columns directly (no second pack)."""
+    from .pallas_contact import _pair_body
+
+    cutoff = cfg.radius
+    Wp = -(-12 * S // 128) * 128
+
+    def compute(q, sL):
+        force_cols = _forces_cols(q, sL, kernel, cutoff, fluid_alpha,
+                                  c0, has_rigid)
+        contact_cols = _pair_body(S, q.shape[0], cutoff, float(init_dist),
+                                  kernel, q, sL, two_d=False, union=True)
+        return jnp.concatenate([contact_cols[:, :Wp], force_cols], axis=1)
+
+    return cell_pair_pallas(df, dfT, grid.n_occupied, grid.nbr_slots,
+                            cfg, compute, Wp + 6, interpret=interpret)

@@ -682,8 +682,11 @@ def make_slab_coupling_step(scheme, scene: Scene, mesh: Mesh,
     pipeline = scheme._cell_pipeline()
     use_fluid_pallas = pipeline is pcops.contact_pipeline_cell_pallas
     if scheme.gtvf_ordering != "kdk":
-        raise NotImplementedError("slab coupling step implements the "
-                                  "default KDK ordering")
+        raise NotImplementedError(
+            "slab coupling step implements the two-build KDK staging — "
+            "set scheme.gtvf_ordering = 'kdk' (the single-chip default "
+            "'kdkf' is a fused one-grid schedule of the same physics; "
+            "its slab port is future work)")
 
     base = cfg.base
     local_chunk = min(base.cell_chunk, -(-cfg.nc_max_local // 8) * 8)

@@ -55,6 +55,7 @@ def test_resume_continues(tmp_path):
                                0.5 * 4e-3, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_overflow_triggers_grid_rebuild(tmp_path):
     """Free-falling grains with a deliberately TIGHT initial domain:
     the fall exits it within a few chunks -> dom_overflow -> the Solver

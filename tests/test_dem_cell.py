@@ -47,6 +47,71 @@ def _grain_scene(seed=3):
     return scheme, scene
 
 
+def _grain_scene_3d(seed=7):
+    """A jittered 3D block of spheres over a floor plane (the reference
+    DEM is sphere-sphere 3D, ``code/dem.py:35-205``; the 2D scenes here
+    are its z=0 restriction)."""
+    rng = np.random.default_rng(seed)
+    rad = 0.05
+    nx_, ny_, nz_ = 6, 4, 6
+    gx_, gy_, gz_ = np.meshgrid(np.arange(nx_) * 2.05 * rad,
+                                np.arange(ny_) * 2.05 * rad,
+                                np.arange(nz_) * 2.05 * rad)
+    n = gx_.size
+    x = gx_.ravel() + rng.uniform(-0.2 * rad, 0.2 * rad, n)
+    y = gy_.ravel() + 0.9 * rad + rng.uniform(0, 0.2 * rad, n)
+    z = gz_.ravel() + rng.uniform(-0.2 * rad, 0.2 * rad, n)
+    m = 2600.0 * (2 * rad) ** 3
+    fx_, fz_ = np.meshgrid(np.arange(-4, nx_ * 2 + 4) * rad,
+                           np.arange(-4, nz_ * 2 + 4) * rad)
+    xf, zf = fx_.ravel(), fz_.ravel()
+    yf = np.full(len(xf), -0.55 * rad)
+    grains = make_group("grains", x, y, z=z, m=m, h=1.2 * rad, rho=2600.0,
+                        rad_s=rad, role=ROLE_RIGID,
+                        body_id=np.arange(n, dtype=np.int32), dem_id=0)
+    floor = make_group("floor", xf, yf, z=zf, m=m, h=1.2 * rad,
+                       rho=2600.0, rad_s=rad / 2, role=ROLE_BOUNDARY,
+                       dem_id=1)
+    scene = build_scene([grains, floor], dim=3, total_no_bodies=2,
+                        spacing0=2 * rad)
+    scheme = DEMScheme(granular_particles=["grains"], boundaries=["floor"],
+                       kn=1e5, en=0.5, gy=-9.81, dim=3)
+    scene = scheme.setup(scene)
+    fdt = scene.x.dtype
+    scene = scene.replace(
+        u=jnp.asarray(rng.uniform(-0.5, 0.5, scene.n), fdt),
+        v=jnp.asarray(rng.uniform(-0.5, 0.0, scene.n), fdt),
+        w=jnp.asarray(rng.uniform(-0.5, 0.5, scene.n), fdt),
+        wx=jnp.asarray(rng.uniform(-2, 2, scene.n), fdt),
+        wy=jnp.asarray(rng.uniform(-2, 2, scene.n), fdt),
+        wz=jnp.asarray(rng.uniform(-2, 2, scene.n), fdt))
+    return scheme, scene
+
+
+def test_dem_cell_3d_trajectory_matches():
+    """25 full 3D DEM steps: cell engine vs nklist engine trajectories
+    (27-cell stencil; all three angular components live)."""
+    scheme_n, scene_n = _grain_scene_3d()
+    scheme_c, scene_c = _grain_scene_3d()
+    scheme_n.engine = "nklist"
+    scheme_c.engine = "cell"
+    step_n = scheme_n.make_step(scene_n)
+    step_c = scheme_c.make_step(scene_c)
+    dt = jnp.asarray(1e-5)
+    for _ in range(25):
+        scene_n = step_n(scene_n, dt)
+        scene_c = step_c(scene_c, dt)
+    assert not bool(np.asarray(scene_c.nbr_overflow))
+    for k in ("x", "y", "z", "u", "v", "w", "wx", "wy", "wz",
+              "fx", "fy", "fz", "torx", "tory", "torz"):
+        np.testing.assert_allclose(np.asarray(scene_c[k]),
+                                   np.asarray(scene_n[k]), atol=1e-9,
+                                   err_msg=k)
+    # grains spin and roll out of plane: all torque components nonzero
+    assert np.abs(np.asarray(scene_c.torx)).max() > 0
+    assert np.abs(np.asarray(scene_c.tory)).max() > 0
+
+
 def test_dem_cell_matches_nklist_pass():
     scheme, scene = _grain_scene()
     cutoff = float(2.5 * np.asarray(scene.rad_s).max() * 2)

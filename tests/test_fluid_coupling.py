@@ -166,6 +166,63 @@ def test_cell_and_nklist_kdk_agree():
                                    atol=1e-8, rtol=1e-8, err_msg=k)
 
 
+def test_kdkf_tracks_kdk():
+    """The fused one-grid KDK step (kdkf: drift-then-evaluate, thermo
+    updates patched through the pack) must track the two-build kdk step
+    closely.  Staging differences: rates at (u_{n+1/2}, x_{n+1}) vs
+    (u_{n+1/2}, x_n), and the fused R+W pass samples source fluid rho/p
+    for the wall sums BEFORE the in-step continuity/EDAC update (the
+    reference's own staging) where kdk samples after — an O(dt)-in-p
+    perturbation of the ghost pressures.  Measured over 5 steps at
+    dt=1e-4 (f64): ~8e-4 abs on p, ~7e-3 on av (scale 4.0), <=2e-6 on
+    state variables; asserted with ~20-30x headroom."""
+    def build(ordering):
+        scheme, scene, dx, gy, rho0 = _tank_scene(with_body=True)
+        scheme.engine = "cell"
+        scheme.gtvf_ordering = ordering
+        return scheme, scene
+
+    sch_f, sc_f = build("kdkf")
+    sch_k, sc_k = build("kdk")
+    step_f = sch_f.make_step(sc_f)
+    step_k = sch_k.make_step(sc_k)
+    dt = jnp.asarray(1e-4)
+    for _ in range(5):
+        sc_f = step_f(sc_f, dt)
+        sc_k = step_k(sc_k, dt)
+    tol = dict(x=1e-8, y=1e-8, u=1e-5, v=5e-5, rho=1e-7, p=2e-2,
+               p_fsi=5e-3, arho=3e-4, au=4e-2, av=2e-1, fx=1e-5, fy=1e-5)
+    for k, atol in tol.items():
+        np.testing.assert_allclose(np.asarray(sc_f[k]), np.asarray(sc_k[k]),
+                                   atol=atol, rtol=0, err_msg=k)
+    np.testing.assert_allclose(np.asarray(sc_f.force),
+                               np.asarray(sc_k.force), atol=3e-5)
+
+
+def test_kdkf_no_fluid_equals_kdk():
+    """With fluids=[] (the stack_of_cylinders_test_1 configuration) the
+    kdkf routing must degenerate to the kdk step bit-for-bit."""
+    def build(ordering):
+        scheme, scene, dx, gy, rho0 = _tank_scene(with_body=True)
+        scheme.fluids = []
+        scheme.engine = "cell"
+        scheme.gtvf_ordering = ordering
+        return scheme, scene
+
+    sch_f, sc_f = build("kdkf")
+    sch_k, sc_k = build("kdk")
+    step_f = sch_f.make_step(sc_f)
+    step_k = sch_k.make_step(sc_k)
+    assert sch_f.gtvf_ordering == "kdkf"  # routing must not stick
+    dt = jnp.asarray(1e-4)
+    for _ in range(3):
+        sc_f = step_f(sc_f, dt)
+        sc_k = step_k(sc_k, dt)
+    for k in ("x", "y", "u", "v", "fx", "fy"):
+        np.testing.assert_array_equal(np.asarray(sc_f[k]),
+                                      np.asarray(sc_k[k]), err_msg=k)
+
+
 @pytest.mark.slow
 def test_ordering_energy_regression():
     """Hydrostatic-tank KE regression for both GTVF orderings at the
@@ -190,8 +247,12 @@ def test_ordering_energy_regression():
 
     ke_ref = run("reference")
     ke_kdk = run("kdk")
+    ke_kdkf = run("kdkf")
     assert np.isfinite(ke_ref) and np.isfinite(ke_kdk)
-    # measured ~2.7e-3 at step 400 for both; x3 headroom
+    assert np.isfinite(ke_kdkf)
+    # measured ~2.7e-3 at step 400 for all three; x3 headroom
     assert ke_kdk < 1e-2, ke_kdk
     assert ke_ref < 1e-2, ke_ref
+    assert ke_kdkf < 1e-2, ke_kdkf
     assert abs(ke_ref - ke_kdk) < 0.25 * max(ke_ref, ke_kdk)
+    assert abs(ke_kdkf - ke_kdk) < 0.25 * max(ke_kdkf, ke_kdk)

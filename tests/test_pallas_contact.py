@@ -6,6 +6,7 @@ equivalence is exercised by the bench/validation runs.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -126,6 +127,7 @@ def _scene_3d_f32():
     return scene, dx
 
 
+@pytest.mark.slow
 def test_pallas_contact_matches_xla_fused_3d():
     """27-cell stencil path (O=27): the 3D schemes' production kernel."""
     scene, dx = _scene_3d_f32()

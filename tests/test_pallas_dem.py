@@ -8,6 +8,7 @@ slot assignment matches exactly).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -131,6 +132,7 @@ def test_pallas_dem_matches_cell_over_steps():
         sc_p = advance(sc_p, out_p)
 
 
+@pytest.mark.slow
 def test_rowwin_dem_matches_cell_over_steps():
     """Row-window DEM kernel vs prune + XLA cell engine, 5 coupled
     steps.  Candidate lane ORDER differs between the grids, so force

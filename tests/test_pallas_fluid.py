@@ -7,6 +7,7 @@ post-wall-BC pressures through a repack, mirroring the scheme wiring.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -26,6 +27,7 @@ def _f32(scene):
     return type(scene)(fields, scene.meta)
 
 
+@pytest.mark.slow
 def test_pallas_fluid_passes_match_cell():
     scheme, scene, dx, gy, rho0 = _tank_scene(with_body=True)
     scene = _f32(scene)
@@ -93,3 +95,33 @@ def test_pallas_fluid_passes_match_cell():
                         force_p):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-3, err_msg=nm)
+
+
+def test_kdkf_step_pallas_matches_cell():
+    """3 fused-KDK steps: the Pallas fluid branch (interpret mode, with
+    its dense column patches) must track the XLA dense branch.  This is
+    the only off-TPU coverage of the kdkf pallas wiring — the scheme
+    selects it on TPU only."""
+    def build(pallas):
+        scheme, scene, dx, gy, rho0 = _tank_scene(with_body=True)
+        scene = _f32(scene)
+        scheme.engine = "cell"
+        scheme.gtvf_ordering = "kdkf"
+        if pallas:
+            scheme.fluid_pallas_interpret = True
+        return scheme, scene
+
+    sch_c, sc_c = build(False)
+    sch_p, sc_p = build(True)
+    step_c = sch_c.make_step(sc_c)
+    step_p = sch_p.make_step(sc_p)
+    dt = jnp.asarray(1e-4, jnp.float32)
+    for _ in range(3):
+        sc_c = step_c(sc_c, dt)
+        sc_p = step_p(sc_p, dt)
+    for k in ("x", "y", "u", "v", "rho", "p", "p_fsi", "arho", "au",
+              "av", "fx", "fy"):
+        a, b = np.asarray(sc_c[k]), np.asarray(sc_p[k])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=5e-4 * scale, rtol=0,
+                                   err_msg=k)

@@ -59,6 +59,10 @@ def _wide_tank_scene():
         rigid_bodies=["body"], fluids=["fluid"], boundaries=["tank"],
         dim=2, rho0=rho0, p0=rho0 * c0**2, c0=c0, gy=gy, nu=0.0, h=dx)
     scheme.engine = "cell"
+    # the slab step implements the two-build KDK staging; pin the
+    # single-chip reference step to the same ordering (the scheme's
+    # default is the fused kdkf schedule)
+    scheme.gtvf_ordering = "kdk"
     scene = scheme.setup(scene)
     g = scene.meta.group("body")
     m_fsi = np.asarray(scene.m_fsi).copy()

@@ -62,6 +62,7 @@ def slab_dem_setup():
     return scheme, scene, mesh, cfg, dec, step
 
 
+@pytest.mark.slow
 def test_slab_dem_matches_single_device(slab_dem_setup):
     scheme, scene, mesh, cfg, dec, step = slab_dem_setup
     ref_step = scheme.make_step(scene)
@@ -92,6 +93,7 @@ def test_slab_dem_hlo_has_no_allgather(slab_dem_setup):
     assert "collective-permute" in hlo
 
 
+@pytest.mark.slow
 def test_slab_dem_redistribute_keeps_tables(slab_dem_setup):
     """Tables key on gids, so redistribution (rows migrate between
     devices) must not perturb the trajectory."""
