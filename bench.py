@@ -176,6 +176,48 @@ def build_dem_scene():
     return scheme, scene
 
 
+def build_dem_scene_3d():
+    """~BENCH_N-sphere 3D granular column over a floor plane (the
+    reference DEM is sphere-sphere 3D, code/dem.py:35-205)."""
+    from rigid_body_2d_3d_pysph_tpu.models.dem import DEMScheme
+    from rigid_body_2d_3d_pysph_tpu.state import (
+        make_group, build_scene, ROLE_RIGID, ROLE_BOUNDARY,
+    )
+
+    radius, s, rho = 1e-3, 2.1e-3, 2600.0
+    base = (0.05 * 0.1 * 0.05) / s**3           # grains at unit scale
+    k = (max(n_target(), 1000) / base) ** (1.0 / 3.0)
+    w, h, d = 0.05 * k, 0.1 * k, 0.05 * k
+    ax = np.arange(0.0, w, s)
+    ay = np.arange(0.0, h, s)
+    az = np.arange(0.0, d, s)
+    gx_, gy_, gz_ = np.meshgrid(ax, ay, az)
+    xg, yg, zg = gx_.ravel(), gy_.ravel(), gz_.ravel()
+    yg = yg - yg.min() + radius
+    m = rho * (4.0 / 3.0) * np.pi * radius**3
+    grains = make_group("sand", xg, yg, z=zg, m=m, h=2.0 * radius,
+                        rho=rho, rad_s=radius, role=ROLE_RIGID,
+                        body_id=np.arange(len(xg), dtype=np.int32),
+                        dem_id=0)
+    fx_, fz_ = np.meshgrid(np.arange(-1.5 * w, 2.5 * w, 2 * radius),
+                           np.arange(-1.5 * d, 2.5 * d, 2 * radius))
+    xf, zf = fx_.ravel(), fz_.ravel()
+    yf = np.full(len(xf), -radius)
+    floor = make_group("floor", xf, yf, z=zf, m=m, h=2.0 * radius,
+                       rho=rho, rad_s=radius, role=ROLE_BOUNDARY,
+                       dem_id=1)
+    scene = build_scene([grains, floor], dim=3, total_no_bodies=2,
+                        spacing0=s)
+    scheme = DEMScheme(granular_particles=["sand"], boundaries=["floor"],
+                       kn=1e5, en=0.5, mu=0.5, dim=3, gy=-9.81,
+                       max_tng_contacts_limit=8)
+    default_engine = ("pallas" if os.environ.get("RB_TPU_PLATFORM") != "cpu"
+                      else "cell")
+    scheme.engine = os.environ.get("BENCH_ENGINE", default_engine)
+    scene = scheme.setup(scene)
+    return scheme, scene
+
+
 def build_coupling_scene():
     """~BENCH_N-particle rigid-fluid coupling scene: the sinking-box FSI
     case (Sun 2015; the reference's largest workload) with the particle
@@ -185,12 +227,11 @@ def build_coupling_scene():
     from rigid_body_rotating_and_sinking_in_tank_2d import SinkingBox
 
     app = SinkingBox(fname="bench_coupling")
-    app.initialize()
     # the stock case is ~33k particles at dx=0.02; scale dx for BENCH_N
+    # through the case's own initialize so every spacing-derived
+    # quantity (h, dt) comes from one place
     scale = np.sqrt(33_000.0 / max(n_target(), 2000))
-    dx = 0.02 * scale
-    app.fluid_spacing = app.body_spacing = dx
-    app.h = app.body_h = app.hdx * dx
+    app.initialize(spacing=0.02 * scale)
     app.scheme = app.create_scheme()
     app.scheme.configure(dim=2)
     scheme = app.scheme.scheme
@@ -198,7 +239,7 @@ def build_coupling_scene():
                       else "cell")
     scheme.engine = os.environ.get("BENCH_ENGINE", default_engine)
     scene = app.create_particles()
-    dt = 0.25 * app.h / (1.1 * app.co)
+    dt = 0.25 * app.fluid_spacing * app.hdx / (app.co * 1.1)
     return scheme, scene, dt
 
 
@@ -259,6 +300,10 @@ def measure(n_steps: int) -> dict:
         # (the round-2 scan>25 device fault was specific to the old XLA
         # table program; the Pallas DEM kernel scans clean — verified
         # through scan(50) at 100k grains)
+        chunk = min(n_steps, 50)
+    elif workload == "dem3d":
+        scheme, scene = build_dem_scene_3d()
+        dt = jnp.asarray(5e-6)
         chunk = min(n_steps, 50)
     elif workload == "rigid3d":
         scheme, scene = build_scene_3d()
@@ -344,7 +389,7 @@ if __name__ == "__main__":
     # ~48 quintic-kernel neighbors per particle in 2D, ~250 in 3D
     workload = os.environ.get("BENCH_WORKLOAD", "rigid")
     name = {"rigid": "rigid-contact", "rigid3d": "rigid-contact-3d",
-            "dem": "DEM-LVC",
+            "dem": "DEM-LVC", "dem3d": "DEM-LVC-3d",
             "coupling": "rigid-fluid-coupling"}.get(workload, workload)
     nbrs = 250 if workload == "rigid3d" else 48
     pair_evals = r["steps_per_sec"] * r["n"] * nbrs * 2  # 2 pair passes

@@ -32,8 +32,10 @@ from rigid_body_2d_3d_pysph_tpu.state import (
 
 
 class SinkingBox(Application):
-    def initialize(self):
-        spacing = 0.02
+    def initialize(self, spacing=0.02):
+        # ``spacing`` is overridable so benchmark harnesses (bench.py's
+        # coupling workload) can scale the particle count while every
+        # spacing-derived quantity (h, dt) stays consistent here
         self.hdx = 1.0
         self.L = 1.0
         self.fluid_length = 4.0 * self.L

@@ -47,12 +47,21 @@ def timestep(scheme, scene, factor, M):
 
 def main():
     os.environ["BENCH_ENGINE"] = "pallas"
-    from bench import build_dem_scene
-    scheme, scene = build_dem_scene()
+    three_d = os.environ.get("SWEEP_3D")
+    if three_d:
+        from bench import build_dem_scene_3d
+        scheme, scene = build_dem_scene_3d()
+        # 3D: the 27-entry stencil makes the packed slot table wide;
+        # smaller factors keep OM (candidate lanes/query) bounded
+        grid = [(1.5, 8), (2.0, 8), (2.5, 8), (3.0, 8),
+                (2.0, 16), (2.5, 16), (3.0, 16), (4.0, 16)]
+    else:
+        from bench import build_dem_scene
+        scheme, scene = build_dem_scene()
+        grid = [(3.5, 16), (4.0, 16), (4.5, 16),
+                (4.0, 24), (5.0, 24), (6.0, 24)]
     print(f"n={scene.n}", flush=True)
-    for factor, M in [(3.5, 16), (4.0, 16), (4.5, 16),
-
-                      (4.0, 24), (5.0, 24), (6.0, 24)]:
+    for factor, M in grid:
         timestep(scheme, scene, factor, M)
 
 

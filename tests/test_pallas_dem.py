@@ -201,3 +201,79 @@ def test_rowwin_dem_matches_cell_over_steps():
                                       err_msg=f"iter {it} count")
         sc_c = advance(sc_c, out_c)
         sc_p = advance(sc_p, out_p)
+
+
+def test_pallas_dem_3d_matches_cell():
+    """3D (27-stencil) DEM Pallas kernel vs the XLA cell engine over 3
+    pass+advance iterations (interpret mode; f32)."""
+    from test_dem_cell import _grain_scene_3d
+
+    scheme, scene = _grain_scene_3d()
+    f32 = jnp.float32
+    fields = {k: (v.astype(f32) if hasattr(v, "dtype")
+                  and v.dtype in (jnp.float64, jnp.float32) else v)
+              for k, v in scene.fields.items()}
+    scene = type(scene)(fields, scene.meta)
+    cutoff = 2.0 * float(np.asarray(scene.rad_s).max())
+    cfg = cellmod.config_from_positions(
+        np.asarray(scene.x), np.asarray(scene.y), np.asarray(scene.z),
+        cutoff, 3, cell_chunk=16, cell_factor=2.0)
+    dt = jnp.asarray(1e-5, jnp.float32)
+
+    @jax.jit
+    def eval_cell(scene):
+        tabs = dops.prune_contact_table(
+            scene, scene.tng_idx, scene.tng_idx_dem_id,
+            scene.tng_x, scene.tng_y, scene.tng_z)[:5]
+        grid = cellmod.build_cell_grid(scene.x, scene.y, scene.z,
+                                       scene.active, cfg)
+        return grid.overflow, dcops.lvc_displacement_cell(
+            scene, grid, cfg, dt, *tabs)
+
+    @jax.jit
+    def eval_pallas(scene):
+        grid = cellmod.build_cell_grid(scene.x, scene.y, scene.z,
+                                       scene.active, cfg)
+        return grid.overflow, pdops.lvc_displacement_cell_pallas(
+            scene, grid, cfg, dt,
+            scene.tng_idx, scene.tng_idx_dem_id,
+            scene.tng_x, scene.tng_y, scene.tng_z, interpret=True)
+
+    def advance(scene, out):
+        fx, fy, fz = out[0], out[1], out[2]
+        m = scene.m
+        u = scene.u + dt * (fx / m)
+        v = scene.v + dt * (fy / m - 9.81)
+        w = scene.w + dt * (fz / m)
+        return scene.replace(
+            u=u, v=v, w=w, x=scene.x + dt * u, y=scene.y + dt * v,
+            z=scene.z + dt * w,
+            tng_idx=out[6], tng_idx_dem_id=out[7],
+            tng_x=out[8], tng_y=out[9], tng_z=out[10],
+            total_tng_contacts=out[11])
+
+    sc_c, sc_p = scene, scene
+    for it in range(3):
+        ovf_c, out_c = eval_cell(sc_c)
+        ovf_p, out_p = eval_pallas(sc_p)
+        assert not bool(ovf_c) and not bool(ovf_p)
+        for i, nm in enumerate(["fx", "fy", "fz", "torx", "tory",
+                                "torz"]):
+            np.testing.assert_allclose(
+                np.asarray(out_p[i]), np.asarray(out_c[i]),
+                rtol=2e-5, atol=2e-3, err_msg=f"iter {it} {nm}")
+        m_c = _table_map(out_c[6], out_c[7], out_c[8], out_c[9],
+                         out_c[10])
+        m_p = _table_map(out_p[6], out_p[7], out_p[8], out_p[9],
+                         out_p[10])
+        for r, (a, b) in enumerate(zip(m_c, m_p)):
+            assert a.keys() == b.keys(), f"iter {it} row {r} contacts"
+            for k in a:
+                np.testing.assert_allclose(
+                    b[k], a[k], rtol=1e-4, atol=1e-9,
+                    err_msg=f"iter {it} row {r} pair {k}")
+        np.testing.assert_array_equal(np.asarray(out_p[11]),
+                                      np.asarray(out_c[11]),
+                                      err_msg=f"iter {it} count")
+        sc_c = advance(sc_c, out_c)
+        sc_p = advance(sc_p, out_p)
