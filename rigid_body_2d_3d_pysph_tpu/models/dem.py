@@ -64,7 +64,12 @@ class DEMScheme(Scheme):
         # (factor, M) -> ms/step: (4,16) 26.2, (6,16) 35.8, (5,16)
         # 36.4, (8,32) 30.3, (4,8) 36.0 — factor 4 minimizes the
         # packed stencil width (O=16, OM=256 candidate lanes/query).
-        self.cell_factor = 4.0
+        # 3D (SWEEP_3D=1 @179k grains): coarse bins explode the
+        # 27-stencil's packed width — (4,16) 141, (3,16) 92, (2.5,16)
+        # 105, (2,8) 89.8, (1.5,8) 196 ms — so 3D defaults to
+        # (2.0, M=8).  ``cell_factor``/``cell_M`` remain overridable.
+        self.cell_factor = 4.0 if dim == 2 else 2.0
+        self.cell_M = None if dim == 2 else 8
         # DEM Pallas grid layout: "spill" (the cell-keyed spillover
         # grid, production default) or "rowwin" (row-window grid —
         # sorted M=8 windows with run-granular source DMAs; ~3x fewer
@@ -164,6 +169,7 @@ class DEMScheme(Scheme):
                 np.asarray(scene.x), np.asarray(scene.y),
                 np.asarray(scene.z), cutoff, self.dim,
                 cell_factor=self.cell_factor,
+                M=self.cell_M, spill=True,
                 capacity_boost=self.capacity_boost)
         return self._pallas_cfg
 

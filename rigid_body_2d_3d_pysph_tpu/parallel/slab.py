@@ -681,12 +681,11 @@ def make_slab_coupling_step(scheme, scene: Scene, mesh: Mesh,
     has_rigid = len(scheme.rigid_bodies) > 0
     pipeline = scheme._cell_pipeline()
     use_fluid_pallas = pipeline is pcops.contact_pipeline_cell_pallas
-    if scheme.gtvf_ordering != "kdk":
+    if scheme.gtvf_ordering not in ("kdk", "kdkf"):
         raise NotImplementedError(
-            "slab coupling step implements the two-build KDK staging — "
-            "set scheme.gtvf_ordering = 'kdk' (the single-chip default "
-            "'kdkf' is a fused one-grid schedule of the same physics; "
-            "its slab port is future work)")
+            "slab coupling step implements the kdk and kdkf stagings "
+            f"(got {scheme.gtvf_ordering!r})")
+    kdkf = scheme.gtvf_ordering == "kdkf"
 
     base = cfg.base
     local_chunk = min(base.cell_chunk, -(-cfg.nc_max_local // 8) * 8)
@@ -753,6 +752,207 @@ def make_slab_coupling_step(scheme, scene: Scene, mesh: Mesh,
             ext[k] = jnp.concatenate([v, tail], axis=0)
         scene_e = Scene(ext, scene_l.meta)
         return scene_e, grigid_src & gvalid, ovr | ovl
+
+    def local_step_kdkf(scene_l: Scene, dt):
+        """Fused one-grid staging (the single-chip default): drift
+        first, ONE ghost exchange + grid at x_{n+1}, rates AND wall
+        sums on the pre-update rho/p, then a (p, p_fsi, rho) ghost
+        resend before the forces/contact passes — one exchange and one
+        grid build fewer per step than the kdk staging below.  Physics
+        matches ``RigidFluidCouplingScheme._make_step_cell_kdkf``
+        (tests/test_slab_coupling.py compares 10-step trajectories)."""
+        d = jax.lax.axis_index("p")
+        lo = cfg.slab_lo(d)
+        hi = cfg.slab_lo(d + 1)
+        w = cfg.halo_width
+
+        fl = scene_l.is_fluid & scene_l.active
+        bd = scene_l.is_static_boundary & scene_l.active
+        rbm = scene_l.is_rigid & scene_l.active
+        solid = bd | rbm
+        ovf = scene_l.nbr_overflow
+
+        # ---- kick ----
+        if has_fluid:
+            scene_l = scene_l.replace(
+                u=jnp.where(fl, scene_l.u + 0.5 * dt * scene_l.au,
+                            scene_l.u),
+                v=jnp.where(fl, scene_l.v + 0.5 * dt * scene_l.av,
+                            scene_l.v),
+                w=jnp.where(fl, scene_l.w + 0.5 * dt * scene_l.aw,
+                            scene_l.w),
+            )
+        if has_rigid:
+            scene_l = rb._body_half_kick(scene_l, dt, two_d=False)
+            scene_l = rb._particles_from_body_velocity(scene_l)
+
+        # ---- drift positions (thermo rides the passes below) ----
+        if has_fluid:
+            scene_l = scene_l.replace(
+                x=jnp.where(fl, scene_l.x + dt * scene_l.u, scene_l.x),
+                y=jnp.where(fl, scene_l.y + dt * scene_l.v, scene_l.y),
+                z=jnp.where(fl, scene_l.z + dt * scene_l.w, scene_l.z),
+            )
+        if has_rigid:
+            scene_l = rb._body_drift(scene_l, dt, two_d=False)
+            scene_l = rb._particles_from_body_position(scene_l)
+
+        # ---- ONE exchange + grid at x_{n+1} ----
+        act = scene_l.active
+        masks = (act & (scene_l.x >= hi - w), act & (scene_l.x < lo + w))
+        scene_e, grigid_src, ov = exchange(scene_l, masks)
+        ovf = ovf | ov
+        grid = cellmod.build_cell_grid(scene_e.x, scene_e.y, scene_e.z,
+                                       scene_e.active, local_cfg)
+        ovf = ovf | grid.overflow
+        nl = scene_l.n
+        src_e = scene_e.replace(
+            is_rigid=scene_e.is_rigid.at[nl:].set(grigid_src))
+
+        ffx = ffy = ffz = None
+        if has_fluid:
+            # ---- rates + wall sums, one pack, pre-update rho/p ----
+            if use_fluid_pallas:
+                from ..ops import pallas_fluid as pfops
+                df, dfT = pfops.pack_fluid_pallas(src_e, grid, local_cfg)
+                arho, ap, uf, vf, wfo, sw, p_num = \
+                    pfops.fluid_rates_wall_pallas(
+                        src_e, grid, local_cfg, kernel, df, dfT,
+                        nu_edac, c0, edac, has_rigid, gx_, gy_, gz_)
+            else:
+                df, di = fcops.pack_fluid_scene(src_e, grid, local_cfg)
+                arho, ap = fcops.fluid_rates_cell(
+                    src_e, grid, local_cfg, kernel, df, di, nu_edac,
+                    c0, edac, has_rigid)
+                uf, vf, wfo, sw, p_num = fcops.wall_bc_cell(
+                    src_e, grid, local_cfg, kernel, df, di, gx_, gy_,
+                    gz_)
+            arho = jnp.where(fl, arho[:nl], 0.0)
+            ap = jnp.where(fl, ap[:nl], 0.0)
+            rho_new = scene_l.rho + dt * arho
+            upd = dict(
+                arho=arho, ap=ap,
+                rho=jnp.where(fl, rho_new, scene_l.rho),
+                vol=jnp.where(fl, scene_l.m / rho_new, scene_l.vol),
+            )
+            if edac:
+                upd["p"] = jnp.where(fl, scene_l.p + dt * ap, scene_l.p)
+            else:
+                p_t, cs_t = fops.tait_eos(
+                    scene_l.replace(rho=upd["rho"]), rho0, c0, gamma, fl)
+                upd["p"], upd["cs"] = p_t, cs_t
+            scene_l = scene_l.replace(**upd)
+
+            uf, vf, wfo = uf[:nl], vf[:nl], wfo[:nl]
+            sw, p_num = sw[:nl], p_num[:nl]
+            has = sw > 1e-14
+            p_bc = jnp.where(has, p_num / jnp.where(has, sw, 1.0), p_num)
+            inv = jnp.where(has, 1.0 / jnp.maximum(sw, 1e-300), 0.0)
+            ufn, vfn, wfn = uf * inv, vf * inv, wfo * inv
+            scene_l = scene_l.replace(
+                p=jnp.where(bd, jnp.maximum(p_bc, 0.0), scene_l.p),
+                p_fsi=jnp.where(rbm, p_bc, scene_l.p_fsi),
+                uf=jnp.where(solid, ufn, scene_l.uf),
+                vf=jnp.where(solid, vfn, scene_l.vf),
+                wf=jnp.where(solid, wfn, scene_l.wf),
+                ug=jnp.where(solid, 2.0 * scene_l.u - ufn, scene_l.ug),
+                vg=jnp.where(solid, 2.0 * scene_l.v - vfn, scene_l.vg),
+                wg=jnp.where(solid, 2.0 * scene_l.w - wfn, scene_l.wg),
+                wij_adami=jnp.where(solid, sw, scene_l.wij_adami),
+            )
+
+            # ---- resend updated (p, p_fsi, rho) for the ghosts ----
+            cols = [scene_l.p, scene_l.p_fsi, scene_l.rho]
+            pr, _ = _compact_rows(masks[0], cols, H)
+            plf, _ = _compact_rows(masks[1], cols, H)
+            g_l, g_r = ring((pr, plf))
+            pcols = jnp.concatenate([g_l, g_r], axis=0)  # [2H, 4]
+            pvalid = pcols[:, 3] > 0.5
+            newp = jnp.where(pvalid, pcols[:, 0], scene_e.p[nl:])
+            newpfsi = jnp.where(pvalid, pcols[:, 1], scene_e.p_fsi[nl:])
+            newrho = jnp.where(pvalid, pcols[:, 2], scene_e.rho[nl:])
+            scene_e = scene_e.replace(
+                p=jnp.concatenate([scene_l.p, newp.astype(fdt)]),
+                p_fsi=jnp.concatenate([scene_l.p_fsi,
+                                       newpfsi.astype(fdt)]),
+                rho=jnp.concatenate([scene_l.rho, newrho.astype(fdt)]))
+            src_e = scene_e.replace(
+                is_rigid=scene_e.is_rigid.at[nl:].set(grigid_src))
+
+            # ---- forces at the patched pressures/densities ----
+            if use_fluid_pallas:
+                from ..ops import pallas_fluid as pfops
+                df, dfT = pfops.pack_fluid_pallas(src_e, grid, local_cfg)
+                aux, auy, auz, fxv, fyv, fzv = pfops.fluid_forces_pallas(
+                    src_e, grid, local_cfg, kernel, df, dfT, fluid_alpha,
+                    c0, has_rigid)
+            else:
+                df, di = fcops.pack_fluid_scene(src_e, grid, local_cfg)
+                p_d = pack_fields(grid, local_cfg, [src_e.p],
+                                  [0.0])[..., 0]
+                pfsi_d = pack_fields(grid, local_cfg, [src_e.p_fsi],
+                                     [0.0])[..., 0]
+                aux, auy, auz, fxv, fyv, fzv = fcops.fluid_forces_cell(
+                    src_e, grid, local_cfg, kernel, df, di, p_d, pfsi_d,
+                    fluid_alpha, c0, has_rigid)
+            scene_l = scene_l.replace(
+                au=jnp.where(fl, gx_ + aux[:nl], 0.0),
+                av=jnp.where(fl, gy_ + auy[:nl], 0.0),
+                aw=jnp.where(fl, gz_ + auz[:nl], 0.0),
+            )
+            ffx = jnp.where(rbm, fxv[:nl], 0.0)
+            ffy = jnp.where(rbm, fyv[:nl], 0.0)
+            ffz = jnp.where(rbm, fzv[:nl], 0.0)
+        if has_rigid:
+            extra = (ffx, ffy, ffz) if has_fluid else None
+            # scene_e already carries the updated local rho/p and the
+            # patched ghost columns (contact's gates exclude fluid
+            # anyway; vol=m/rho only matters for solid sources)
+            scene_c = scene_e
+            if extra is not None:
+                extra = (jnp.concatenate(
+                    [extra[0], jnp.zeros(2 * H, fdt)]),
+                    jnp.concatenate([extra[1], jnp.zeros(2 * H, fdt)]),
+                    jnp.concatenate([extra[2], jnp.zeros(2 * H, fdt)]))
+            scene_c = rb.rigid_contact_force_eval_cell(
+                scene_c, grid, local_cfg, kernel, params, dt,
+                extra_fx=extra, pipeline=pipeline)
+            force = jax.lax.psum(scene_c.force, "p")
+            torque = jax.lax.psum(scene_c.torque, "p")
+            keep = {}
+            for k, v in scene_c.fields.items():
+                if (hasattr(v, "ndim") and v.ndim >= 1
+                        and v.shape[0] == nl + 2 * H):
+                    keep[k] = v[:nl]
+            scene_l = scene_l.replace(**{
+                k: keep[k] for k in keep
+                if k in ("fx", "fy", "fz", "delta_lt_x", "delta_lt_y",
+                         "delta_lt_z", "fn_x", "fn_y", "fn_z",
+                         "contact_force_normal_x",
+                         "contact_force_normal_y",
+                         "contact_force_normal_z",
+                         "contact_force_normal_wij",
+                         "contact_force_dist",
+                         "closest_point_dist_to_source",
+                         "x_source", "y_source", "z_source",
+                         "vx_source", "vy_source", "vz_source")})
+            scene_l = scene_l.replace(force=force, torque=torque)
+        scene_l = scene_l.replace(nbr_overflow=ovf)
+
+        # ---- second half-kick ----
+        if has_fluid:
+            scene_l = scene_l.replace(
+                u=jnp.where(fl, scene_l.u + 0.5 * dt * scene_l.au,
+                            scene_l.u),
+                v=jnp.where(fl, scene_l.v + 0.5 * dt * scene_l.av,
+                            scene_l.v),
+                w=jnp.where(fl, scene_l.w + 0.5 * dt * scene_l.aw,
+                            scene_l.w),
+            )
+        if has_rigid:
+            scene_l = rb._body_half_kick(scene_l, dt, two_d=False)
+            scene_l = rb._particles_from_body_velocity(scene_l)
+        return scene_l
 
     def local_step(scene_l: Scene, dt):
         d = jax.lax.axis_index("p")
@@ -968,8 +1168,9 @@ def make_slab_coupling_step(scheme, scene: Scene, mesh: Mesh,
         return scene_l
 
     step = jax.jit(jax.shard_map(
-        local_step, mesh=mesh, in_specs=(scene_spec, P()),
-        out_specs=scene_spec, check_vma=False))
+        local_step_kdkf if kdkf else local_step, mesh=mesh,
+        in_specs=(scene_spec, P()), out_specs=scene_spec,
+        check_vma=False))
     return step
 
 

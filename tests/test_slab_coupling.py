@@ -124,3 +124,43 @@ def test_slab_coupling_hlo_collectives(slab_cpl_setup):
     hlo = step.lower(dec, dt).compile().as_text()
     assert "all-gather" not in hlo
     assert "collective-permute" in hlo
+
+
+@pytest.mark.slow
+def test_slab_coupling_kdkf_matches_single_device():
+    """The fused one-grid kdkf staging on the slab path (one exchange +
+    one grid per step + a (p, p_fsi, rho) ghost resend) must track the
+    single-chip kdkf step."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    scheme, scene = _wide_tank_scene()
+    scheme.gtvf_ordering = "kdkf"
+    from rigid_body_2d_3d_pysph_tpu.ops.kernels import get_kernel
+    base = scheme.cell_config(scene, get_kernel(scheme.kernel_name,
+                                                scheme.dim))
+    mesh = make_mesh(8)
+    cfg = slabmod.make_slab_config(scene, base, 8)
+    dec = slabmod.slab_decompose(scene, cfg)
+    dec = slabmod.shard_slab_scene(dec, mesh)
+    step = slabmod.make_slab_coupling_step(scheme, dec, mesh, cfg)
+    ref_step = scheme.make_step(scene)
+    dt = jnp.asarray(1e-4)
+    s_ref, s_slab = scene, dec
+    for _ in range(10):
+        s_ref = ref_step(s_ref, dt)
+        s_slab = step(s_slab, dt)
+    assert not bool(np.asarray(s_slab.nbr_overflow))
+    act = np.asarray(s_slab.active)
+    assert act.sum() == s_ref.n
+    key_slab = np.lexsort((np.asarray(s_slab.y)[act],
+                           np.asarray(s_slab.x)[act]))
+    key_ref = np.lexsort((np.asarray(s_ref.y), np.asarray(s_ref.x)))
+    for k in ("x", "y", "u", "v", "rho", "p", "p_fsi", "arho", "au",
+              "av"):
+        a = np.asarray(s_slab[k])[act][key_slab]
+        b = np.asarray(s_ref[k])[key_ref]
+        np.testing.assert_allclose(a, b, atol=2e-8, err_msg=k)
+    np.testing.assert_allclose(np.asarray(s_slab.force),
+                               np.asarray(s_ref.force), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s_slab.xcm),
+                               np.asarray(s_ref.xcm), atol=1e-9)
