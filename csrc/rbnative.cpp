@@ -460,3 +460,195 @@ extern "C" void rb_gtvf_step_n(
                                  u, v, w);
   }
 }
+
+// ---------------------------------------------------------------------------
+// DEM oracle: Luding linear-viscoelastic contact with tangential-
+// displacement springs + velocity-Verlet stepping, n_steps at a time.
+// Independent implementation of the reference physics
+// (code/dem.py:35-205 LVCDisplacement, :208-293 prune, :595-625 DEMStep)
+// in f64 — the cross-validation oracle for the JAX/XLA/Pallas DEM
+// engines (tests/test_native_oracle.py).  Same documented deviations as
+// ops/dem.py: torque accumulators are reset each force evaluation, and
+// a pair's contact-point velocity uses a_i = rad - overlap/2 arms.
+//
+// The contact table is [n, L] slots of (source index, source dem id,
+// spring xyz); slot ORDER is allocation-order dependent and never
+// enters the physics (tests compare tables as (idx, dem) -> spring
+// maps).
+extern "C" void rb_dem_lvc_step_n(
+    double* x, double* y, double* z, double* u, double* v, double* w,
+    double* wx, double* wy, double* wz,
+    const double* m, const double* moi, const double* rad_s,
+    const int32_t* dem_id, const uint8_t* mobile,
+    const double* dem_kn, const double* dem_kt, const double* dem_alpha,
+    const double* dem_mu,
+    int n, double gx, double gy, double gz, double dt, int n_steps,
+    int L,
+    int32_t* tng_idx, int32_t* tng_dem,
+    double* tng_x, double* tng_y, double* tng_z,
+    double* fx, double* fy, double* fz,
+    double* torx, double* tory, double* torz) {
+  double rmax = 0.0;
+  for (int i = 0; i < n; ++i) rmax = std::max(rmax, rad_s[i]);
+  const double cutoff = 2.0 * rmax;
+  Grid g;
+  std::vector<double> nfx(n), nfy(n), nfz(n), ntx(n), nty(n), ntz(n);
+
+  for (int step = 0; step < n_steps; ++step) {
+    // stage 1: half-kick with the stored force (dem.py:596-607)
+    for (int i = 0; i < n; ++i) {
+      if (!mobile[i]) continue;
+      double mi = 0.5 * dt / m[i], Ii = 0.5 * dt / moi[i];
+      u[i] += fx[i] * mi;
+      v[i] += fy[i] * mi;
+      w[i] += fz[i] * mi;
+      wx[i] += torx[i] * Ii;
+      wy[i] += tory[i] * Ii;
+      wz[i] += torz[i] * Ii;
+    }
+
+    // prune: free slots whose pair separated or changed entity
+    // (initialize_pair, dem.py:209-293)
+    for (int i = 0; i < n; ++i) {
+      for (int l = 0; l < L; ++l) {
+        int32_t j = tng_idx[i * L + l];
+        if (j < 0) continue;
+        double ddx = x[i] - x[j], ddy = y[i] - y[j], ddz = z[i] - z[j];
+        double r = std::sqrt(ddx * ddx + ddy * ddy + ddz * ddz);
+        double overlap = rad_s[i] + rad_s[j] - r;
+        if (!(overlap > 0.0) || tng_dem[i * L + l] != dem_id[j]) {
+          tng_idx[i * L + l] = -1;
+          tng_dem[i * L + l] = -1;
+          tng_x[i * L + l] = tng_y[i * L + l] = tng_z[i * L + l] = 0.0;
+        }
+      }
+    }
+
+    // LVC force pass (dem.py:44-205)
+    g.build(x, y, z, n, cutoff);
+    for (int i = 0; i < n; ++i) {
+      nfx[i] = nfy[i] = nfz[i] = ntx[i] = nty[i] = ntz[i] = 0.0;
+      g.for_neighbors(
+          x, y, z, i, cutoff,
+          [&](int j, double r, double ddx, double ddy, double ddz) {
+            if (j == i || r <= 0.0) return;
+            double overlap = rad_s[i] + rad_s[j] - r;
+            if (!(overlap > 0.0)) return;
+            int e = dem_id[j];
+            double kn = dem_kn[e], kt = dem_kt[e];
+            double alpha = dem_alpha[e], mu = dem_mu[e];
+
+            double rinv = 1.0 / r;
+            double nx = ddx * rinv, ny = ddy * rinv, nz = ddz * rinv;
+            double a_i = rad_s[i] - overlap / 2.0;
+            double a_j = rad_s[j] - overlap / 2.0;
+            double vix = u[i] + (wy[i] * nz - wz[i] * ny) * a_i;
+            double viy = v[i] + (wz[i] * nx - wx[i] * nz) * a_i;
+            double viz = w[i] + (wx[i] * ny - wy[i] * nx) * a_i;
+            double vjx = u[j] + (-wy[j] * nz + wz[j] * ny) * a_j;
+            double vjy = v[j] + (-wz[j] * nx + wx[j] * nz) * a_j;
+            double vjz = w[j] + (-wx[j] * ny + wy[j] * nx) * a_j;
+            double vx_ = vix - vjx, vy_ = viy - vjy, vz_ = viz - vjz;
+            double vdotn = vx_ * nx + vy_ * ny + vz_ * nz;
+            double vtx = vx_ - vdotn * nx;
+            double vty = vy_ - vdotn * ny;
+            double vtz = vz_ - vdotn * nz;
+            double m_eff = m[i] * m[j] / (m[i] + m[j]);
+            double eta_n = alpha * std::sqrt(m_eff);
+            double fn = kn * overlap - eta_n * vdotn;
+            nfx[i] += fn * nx;
+            nfy[i] += fn * ny;
+            nfz[i] += fn * nz;
+
+            // tangential history: find the (j, dem) slot, else allocate
+            int slot = -1, freeslot = -1;
+            for (int l = 0; l < L; ++l) {
+              int32_t tj = tng_idx[i * L + l];
+              if (tj == j && tng_dem[i * L + l] == e) { slot = l; break; }
+              if (tj < 0 && freeslot < 0) freeslot = l;
+            }
+            if (slot < 0) {
+              // new contact: register (zero spring), no tangential
+              // force this step (dem.py:140-148); table full -> drop
+              if (freeslot >= 0) {
+                tng_idx[i * L + freeslot] = j;
+                tng_dem[i * L + freeslot] = e;
+                tng_x[i * L + freeslot] = 0.0;
+                tng_y[i * L + freeslot] = 0.0;
+                tng_z[i * L + freeslot] = 0.0;
+              }
+              return;
+            }
+            // project the spring onto the current tangent plane
+            double sx = tng_x[i * L + slot];
+            double sy = tng_y[i * L + slot];
+            double sz = tng_z[i * L + slot];
+            double sdotn = sx * nx + sy * ny + sz * nz;
+            sx -= sdotn * nx;
+            sy -= sdotn * ny;
+            sz -= sdotn * nz;
+            double ftx = -kt * sx - eta_n * vtx;
+            double fty = -kt * sy - eta_n * vty;
+            double ftz = -kt * sz - eta_n * vtz;
+            double ftm = std::sqrt(ftx * ftx + fty * fty + ftz * ftz);
+            double fn_mu = mu * fn;
+            if (ftm > fn_mu) {  // Coulomb cap + spring rescale
+              double tx = 0.0, ty = 0.0, tz = 0.0;
+              if (ftm > 1e-12) {
+                tx = ftx / ftm;
+                ty = fty / ftm;
+                tz = ftz / ftm;
+              }
+              ftx = fn_mu * tx;
+              fty = fn_mu * ty;
+              ftz = fn_mu * tz;
+              double kti = 1.0 / (kt > 0.0 ? kt : 1.0);
+              sx = -kti * (fn_mu * tx + eta_n * vtx);
+              sy = -kti * (fn_mu * ty + eta_n * vty);
+              sz = -kti * (fn_mu * tz + eta_n * vtz);
+            } else {
+              sx += vtx * dt;
+              sy += vty * dt;
+              sz += vtz * dt;
+            }
+            tng_x[i * L + slot] = sx;
+            tng_y[i * L + slot] = sy;
+            tng_z[i * L + slot] = sz;
+            nfx[i] += ftx;
+            nfy[i] += fty;
+            nfz[i] += ftz;
+            ntx[i] += (ny * ftz - nz * fty) * a_i;
+            nty[i] += (nz * ftx - nx * ftz) * a_i;
+            ntz[i] += (nx * fty - ny * ftx) * a_i;
+          });
+    }
+    for (int i = 0; i < n; ++i) {
+      if (mobile[i]) {
+        fx[i] = m[i] * gx + nfx[i];
+        fy[i] = m[i] * gy + nfy[i];
+        fz[i] = m[i] * gz + nfz[i];
+        torx[i] = ntx[i];
+        tory[i] = nty[i];
+        torz[i] = ntz[i];
+      } else {
+        fx[i] = fy[i] = fz[i] = 0.0;
+        torx[i] = tory[i] = torz[i] = 0.0;
+      }
+    }
+
+    // stage 2 drift + stage 3 second half-kick (dem.py:609-625)
+    for (int i = 0; i < n; ++i) {
+      if (!mobile[i]) continue;
+      x[i] += dt * u[i];
+      y[i] += dt * v[i];
+      z[i] += dt * w[i];
+      double mi = 0.5 * dt / m[i], Ii = 0.5 * dt / moi[i];
+      u[i] += fx[i] * mi;
+      v[i] += fy[i] * mi;
+      w[i] += fz[i] * mi;
+      wx[i] += torx[i] * Ii;
+      wy[i] += tory[i] * Ii;
+      wz[i] += torz[i] * Ii;
+    }
+  }
+}

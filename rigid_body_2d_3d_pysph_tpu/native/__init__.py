@@ -54,6 +54,15 @@ def get_lib():
         + [ctypes.c_double, ctypes.c_int]  # dt, n_steps
         + [d] * 6 + [d] * 4 + [d] * 3
     )
+    lib.rb_dem_lvc_step_n.argtypes = (
+        [d] * 9                    # x..w, wx..wz
+        + [d] * 3 + [i32, u8]      # m, moi, rad_s, dem_id, mobile
+        + [d] * 4                  # per-entity kn, kt, alpha, mu
+        + [ctypes.c_int] + [ctypes.c_double] * 3   # n, gx, gy, gz
+        + [ctypes.c_double, ctypes.c_int, ctypes.c_int]  # dt, steps, L
+        + [i32, i32] + [d] * 3     # contact table
+        + [d] * 6                  # force/torque accumulators
+    )
     _lib = lib
     return _lib
 
@@ -187,3 +196,45 @@ def gtvf_step_n(scene, kr: float, kf: float, fric_coeff: float,
                 omega=omega, ang_mom=ang_mom, force=force, torque=torque,
                 fx=fx, fy=fy, fz=fz,
                 delta_lt=(dlx, dly, dlz), fn=(fnx, fny, fnz))
+
+
+def dem_lvc_step_n(scene, mobile, gx: float, gy: float, gz: float,
+                   dt: float, n_steps: int):
+    """Full DEM LVC trajectory in the native engine: ``n_steps`` of the
+    velocity-Verlet scheme (half-kick -> prune -> LVC force -> drift ->
+    half-kick) with the persistent [n, L] tangential-spring table, f64.
+    Takes a framework Scene (+ the mobile mask the scheme derives from
+    its granular groups); returns a dict of the final state."""
+    lib = get_lib()
+    n = scene.n
+    L = scene.tng_idx.shape[1]
+
+    f = lambda k: np.ascontiguousarray(np.asarray(scene[k]),
+                                       np.float64).copy()
+    a = {k: f(k) for k in ("x", "y", "z", "u", "v", "w",
+                           "wx", "wy", "wz", "m", "moi", "rad_s",
+                           "fx", "fy", "fz", "torx", "tory", "torz",
+                           "dem_kn", "dem_kt", "dem_alpha", "dem_mu")}
+    dem = np.ascontiguousarray(np.asarray(scene.dem_id), np.int32)
+    mob = np.ascontiguousarray(np.asarray(mobile), np.uint8)
+    ti = np.ascontiguousarray(np.asarray(scene.tng_idx), np.int32).copy()
+    td = np.ascontiguousarray(np.asarray(scene.tng_idx_dem_id),
+                              np.int32).copy()
+    ta, tb, tc = (f("tng_x"), f("tng_y"), f("tng_z"))
+
+    lib.rb_dem_lvc_step_n(
+        _p(a["x"]), _p(a["y"]), _p(a["z"]),
+        _p(a["u"]), _p(a["v"]), _p(a["w"]),
+        _p(a["wx"]), _p(a["wy"]), _p(a["wz"]),
+        _p(a["m"]), _p(a["moi"]), _p(a["rad_s"]), _pi(dem), _pu(mob),
+        _p(a["dem_kn"]), _p(a["dem_kt"]), _p(a["dem_alpha"]),
+        _p(a["dem_mu"]),
+        n, float(gx), float(gy), float(gz), float(dt), int(n_steps),
+        int(L), _pi(ti), _pi(td), _p(ta), _p(tb), _p(tc),
+        _p(a["fx"]), _p(a["fy"]), _p(a["fz"]),
+        _p(a["torx"]), _p(a["tory"]), _p(a["torz"]))
+    return dict(x=a["x"], y=a["y"], z=a["z"], u=a["u"], v=a["v"],
+                w=a["w"], wx=a["wx"], wy=a["wy"], wz=a["wz"],
+                fx=a["fx"], fy=a["fy"], fz=a["fz"],
+                torx=a["torx"], tory=a["tory"], torz=a["torz"],
+                tng_idx=ti, tng_dem=td, tng=(ta, tb, tc))

@@ -163,3 +163,51 @@ def test_native_gtvf_trajectory_matches_jax():
     np.testing.assert_allclose(native["u"], np.asarray(s.u), atol=1e-7)
     np.testing.assert_allclose(native["force"], np.asarray(s.force),
                                rtol=1e-8, atol=1e-6)
+
+
+def test_native_dem_lvc_trajectory_matches_jax():
+    """25 full DEM LVC steps: the independent C++ oracle
+    (rb_dem_lvc_step_n) vs the JAX nklist engine, f64.  Tables compared
+    as (source idx, dem) -> spring maps (slot order is
+    allocation-order dependent and never enters the physics)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_dem_cell import _grain_scene
+
+    from rigid_body_2d_3d_pysph_tpu.native import dem_lvc_step_n
+
+    scheme, scene = _grain_scene(seed=11)
+    scheme.engine = "nklist"
+    step = scheme.make_step(scene)
+    dt = 1e-5
+    s = scene
+    for _ in range(25):
+        s = step(s, jnp.asarray(dt))
+
+    mob = np.zeros(scene.n, bool)
+    g = scene.meta.group("grains")
+    mob[g.start:g.stop] = True
+    out = dem_lvc_step_n(scene, mob, scheme.gx, scheme.gy, scheme.gz,
+                         dt, 25)
+
+    for k in ("x", "y", "u", "v", "wz", "fx", "fy", "torz"):
+        np.testing.assert_allclose(out[k], np.asarray(s[k]), atol=1e-10,
+                                   err_msg=k)
+
+    def table_map(ti, td, ta, tb, tc):
+        maps = []
+        for r in range(ti.shape[0]):
+            maps.append({(int(i), int(d)): (ta[r, l], tb[r, l], tc[r, l])
+                         for l, (i, d) in enumerate(zip(ti[r], td[r]))
+                         if i >= 0})
+        return maps
+
+    m_j = table_map(np.asarray(s.tng_idx), np.asarray(s.tng_idx_dem_id),
+                    np.asarray(s.tng_x), np.asarray(s.tng_y),
+                    np.asarray(s.tng_z))
+    m_n = table_map(out["tng_idx"], out["tng_dem"], *out["tng"])
+    for r, (a, b) in enumerate(zip(m_j, m_n)):
+        assert a.keys() == b.keys(), f"row {r} contact sets differ"
+        for k in a:
+            np.testing.assert_allclose(b[k], a[k], atol=1e-10,
+                                       err_msg=f"row {r} pair {k}")
