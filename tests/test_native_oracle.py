@@ -211,3 +211,31 @@ def test_native_dem_lvc_trajectory_matches_jax():
         for k in a:
             np.testing.assert_allclose(b[k], a[k], atol=1e-10,
                                        err_msg=f"row {r} pair {k}")
+
+
+def test_native_dem_lvc_3d_trajectory_matches_jax():
+    """15 full 3D DEM steps vs the C++ oracle — independent ground
+    truth for the 27-stencil engines (all angular components live)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_dem_cell import _grain_scene_3d
+
+    from rigid_body_2d_3d_pysph_tpu.native import dem_lvc_step_n
+
+    scheme, scene = _grain_scene_3d(seed=13)
+    scheme.engine = "nklist"
+    step = scheme.make_step(scene)
+    dt = 1e-5
+    s = scene
+    for _ in range(15):
+        s = step(s, jnp.asarray(dt))
+
+    mob = np.zeros(scene.n, bool)
+    g = scene.meta.group("grains")
+    mob[g.start:g.stop] = True
+    out = dem_lvc_step_n(scene, mob, scheme.gx, scheme.gy, scheme.gz,
+                         dt, 15)
+    for k in ("x", "y", "z", "u", "v", "w", "wx", "wy", "wz",
+              "fx", "fy", "fz", "torx", "tory", "torz"):
+        np.testing.assert_allclose(out[k], np.asarray(s[k]), atol=1e-10,
+                                   err_msg=k)
