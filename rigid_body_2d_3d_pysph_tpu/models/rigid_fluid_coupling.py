@@ -428,35 +428,38 @@ class RigidFluidCouplingScheme(Scheme):
         init_dist = 4.0 * scene.meta.spacing0
         Wp = -(-12 * S // 128) * 128
 
-        def eval_passes(scene, grid, dt):
-            """All fluid passes on one grid/pack with dense column
-            patches between them.  Returns ``(out, contact)``: ``out``
-            the [N, 13] block (arho, ap, uf, vf, wf, sw, p_num, au, av,
-            aw, fx, fy, fz); ``contact`` the contact-pipeline outputs
-            (cfn_x/y/z, wij, dinfo) when the fused Pallas F+C kernel ran
-            them in the same sweep, else None (caller runs the separate
-            contact pipeline)."""
+        def eval_passes(scene, dt):
+            """Grid build + all fluid passes on one pack with dense
+            column patches between them.  Returns ``(grid, out,
+            contact)``: ``out`` the [N, 13] block (arho, ap, uf, vf,
+            wf, sw, p_num, au, av, aw, fx, fy, fz); ``contact`` the
+            contact-pipeline outputs (cfn_x/y/z, wij, dinfo) when the
+            fused Pallas F+C kernel ran them in the same sweep, else
+            None (caller runs the separate contact pipeline)."""
             if use_fluid_pallas:
-                df, dfT = pfops.pack_fluid_pallas(scene, grid, ccfg)
+                # sorted pack: the 14 fields ride the grid build's cell
+                # sort and a Pallas kernel expands them into dfT — no
+                # slot-major df, no [NC*M]-row pack gather
+                grid, dfT, sent = pfops.pack_fluid_sorted(
+                    scene, ccfg, interpret=interp)
+                M = ccfg.M
                 one = jnp.float32(1.0)
                 _, _, sb_f, fl_f, rg_f = pfops._decode_flags(
-                    df[:, :, pfops._FFLAGS])
+                    dfT[:NC, pfops._FFLAGS, :M])
                 fl_l = fl_f == one
                 bd_l = sb_f == one
                 rb_l = rg_f == one
                 dtf = jnp.asarray(dt, jnp.float32)
 
-                def patch(df, dfT, col, val):
-                    df = df.at[:, :, col].set(val)
-                    dfT = dfT.at[:NC, col, :ccfg.M].set(val)
-                    return df, dfT
+                def patch(dfT, col, val):
+                    return dfT.at[:NC, col, :M].set(val)
 
                 rw_d = pfops.fluid_rates_wall_pallas(
-                    scene, grid, ccfg, kernel, df, dfT, nu_edac, c0,
+                    scene, grid, ccfg, kernel, None, dfT, nu_edac, c0,
                     edac, has_rigid, gx, gy, gz, interpret=interp,
-                    dense=True)                           # [NC, M, 7]
-                rho_d = df[:, :, RHO]
-                p_d = df[:, :, P]
+                    dense=True, sent_slot=sent)           # [NC, M, 7]
+                rho_d = dfT[:NC, RHO, :M]
+                p_d = dfT[:NC, P, :M]
                 rho_new = jnp.where(fl_l, rho_d + dtf * rw_d[..., 0],
                                     rho_d)
                 if edac:
@@ -468,7 +471,7 @@ class RigidFluidCouplingScheme(Scheme):
                         fl_l,
                         B * ((rho_new / jnp.float32(rho0))
                              ** jnp.float32(gamma) - 1.0), p_d)
-                df, dfT = patch(df, dfT, RHO, rho_new)
+                dfT = patch(dfT, RHO, rho_new)
 
                 sw_d = rw_d[..., 5]
                 has_d = sw_d > 1e-14
@@ -477,16 +480,17 @@ class RigidFluidCouplingScheme(Scheme):
                                   / jnp.where(has_d, sw_d, one),
                                   rw_d[..., 6])
                 p2 = jnp.where(bd_l, jnp.maximum(pbc_d, 0.0), p_new)
-                pfsi2 = jnp.where(rb_l, pbc_d, df[:, :, PFSI])
-                df, dfT = patch(df, dfT, P, p2)
-                df, dfT = patch(df, dfT, PFSI, pfsi2)
+                pfsi2 = jnp.where(rb_l, pbc_d, dfT[:NC, PFSI, :M])
+                dfT = patch(dfT, P, p2)
+                dfT = patch(dfT, PFSI, pfsi2)
 
                 if has_rigid:
                     # fused F+C: fluid forces AND the Mofidi contact
                     # pipeline share one stencil sweep
                     fc_d = pfops.fluid_forces_contact_pallas(
-                        scene, grid, ccfg, kernel, df, dfT, fluid_alpha,
-                        c0, has_rigid, S, init_dist, interpret=interp)
+                        scene, grid, ccfg, kernel, None, dfT,
+                        fluid_alpha, c0, has_rigid, S, init_dist,
+                        interpret=interp, sent_slot=sent)
                     big = jnp.concatenate([rw_d, fc_d], axis=-1)
                     flat = cellmod.unpack(grid, ccfg, big, scene.n,
                                           0.0).astype(scene.x.dtype)
@@ -499,15 +503,18 @@ class RigidFluidCouplingScheme(Scheme):
                         x_source=cp[:, 6], y_source=cp[:, 7],
                         z_source=cp[:, 8], vx_source=cp[:, 9],
                         vy_source=cp[:, 10], vz_source=cp[:, 11])
-                    return out, (cp[:, 0], cp[:, 1], cp[:, 2], cp[:, 3],
-                                 dinfo)
+                    return grid, out, (cp[:, 0], cp[:, 1], cp[:, 2],
+                                       cp[:, 3], dinfo)
                 force_d = pfops.fluid_forces_pallas(
-                    scene, grid, ccfg, kernel, df, dfT, fluid_alpha, c0,
-                    has_rigid, interpret=interp,
-                    dense=True)                           # [NC, M, 6]
+                    scene, grid, ccfg, kernel, None, dfT, fluid_alpha,
+                    c0, has_rigid, interpret=interp,
+                    dense=True, sent_slot=sent)           # [NC, M, 6]
                 dense_all = jnp.concatenate(
                     [rw_d, force_d], axis=-1)
             else:
+                grid = cellmod.build_cell_grid(scene.x, scene.y,
+                                               scene.z, scene.active,
+                                               ccfg)
                 df, di = fcops.pack_fluid_scene(scene, grid, ccfg)
                 fl_l = di[:, :, FLU] == 1
                 bd_l = di[:, :, BDR] == 1
@@ -546,8 +553,8 @@ class RigidFluidCouplingScheme(Scheme):
                 dense_all = jnp.stack(
                     [arho_d, ap_d, uf_d, vf_d, wf_d, sw_d, pnum_d]
                     + list(outs), axis=-1)
-            return cellmod.unpack(grid, ccfg, dense_all, scene.n,
-                                  0.0).astype(scene.x.dtype), None
+            return grid, cellmod.unpack(grid, ccfg, dense_all, scene.n,
+                                        0.0).astype(scene.x.dtype), None
 
         @jax.jit
         def step_kdkf(scene: Scene, dt):
@@ -577,10 +584,8 @@ class RigidFluidCouplingScheme(Scheme):
                 scene = _particles_from_body_position(scene)
 
             # ---- ONE grid + pack; rates -> thermo -> BC -> forces ----
-            grid = cellmod.build_cell_grid(scene.x, scene.y, scene.z,
-                                           scene.active, ccfg)
+            grid, out, contact = eval_passes(scene, dt)   # [N, 13]
             ovf = scene.nbr_overflow | grid.overflow
-            out, contact = eval_passes(scene, grid, dt)   # [N, 13]
             arho = jnp.where(fl, out[:, 0], 0.0)
             ap = jnp.where(fl, out[:, 1], 0.0)
             rho_new = scene.rho + dt * arho

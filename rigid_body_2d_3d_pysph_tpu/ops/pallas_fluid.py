@@ -91,6 +91,29 @@ def pack_fluid_pallas(scene, grid: CellGrid, cfg: CellGridConfig):
     return df, dfT
 
 
+def pack_fluid_sorted(scene, cfg: CellGridConfig,
+                      interpret: bool = False):
+    """Sorted-pack fluid build: ONE cell sort carries the 14 pack
+    fields as payload and a Pallas kernel expands them straight into
+    the field-major ``dfT`` — no slot-major df, no [NC*M]-row pack
+    gather (the same trick that cut 37 ms/step from the 1M contact
+    path).  Returns ``(grid, dfT, sent_slot)``; queries read dfT's own
+    rows in-kernel (``cell_pair_pallas(df=None, ...)``) and the dense
+    column patches address ``dfT[:NC, col, :M]``."""
+    from . import pallas_pack
+    from .cellpairs import build_cell_grid_packed
+
+    payload = [scene.x, scene.y, scene.z, scene.u, scene.v, scene.w,
+               scene.m, scene.rho, scene.h, scene.p,
+               scene.m_fsi, scene.rho_fsi, scene.p_fsi,
+               fluid_flags(scene)]
+    grid, pt = build_cell_grid_packed(scene.x, scene.y, scene.z,
+                                      scene.active, cfg, payload)
+    dfT = pallas_pack.expand_dft_pallas(pt, grid.n_occupied, cfg, _SENT,
+                                        interpret=interpret)
+    return grid, dfT, jnp.minimum(grid.n_occupied, cfg.NC_max)
+
+
 _B = 8  # cells per kernel program (amortizes Mosaic grid-step dispatch;
 #         see pallas_contact._B)
 _D = 8  # DMA pipeline depth (cells in flight).  The fluid passes'
@@ -102,13 +125,31 @@ _D = 8  # DMA pipeline depth (cells in flight).  The fluid passes'
 #        be <= _B + 1 (prefetch rows come only from programs c, c+1).
 
 
-def _scaffold(compute, W, M, O, n_occ_ref, q_ref, nbr_now, nbr_nxt,
-              dft_hbm, out_ref, scratch, sems):
+def _scaffold(compute, W, M, O, q_from_dft, n_occ_ref, q_ref, nbr_now,
+              nbr_nxt, dft_hbm, out_ref, scratch, sems):
     """Generic pair kernel over _B cells per program: DMA each cell's
     stencil blocks (_D-deep revolving buffer, prefetch crossing program
-    boundaries), hand (q [M, F], sL [F, OM]) to ``compute`` -> [M, W]."""
+    boundaries), hand (q [M, F], sL [F, OM]) to ``compute`` -> [M, W].
+
+    ``q_from_dft``: the query block is dfT's own [F, lane] slot rows
+    (the sorted-pack path, which never materializes a slot-major df) —
+    one exact one-hot MXU placement per program turns all _B rows into
+    [M, F] columns, exactly as ``pallas_contact._kernel`` does."""
     c = pl.program_id(0)
     n_occ = n_occ_ref[0]
+
+    if q_from_dft:
+        from .pallas_exact import dot_data_onehot
+        F = q_ref.shape[1]
+        lane = q_ref.shape[2]
+        isel = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (M, lane), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (M, lane), 1),
+            1.0, 0.0)
+        q_all = q_ref[...].reshape(_B * F, lane)
+        qT_all = dot_data_onehot(
+            q_all, isel, (((1,), (1,)), ((), ())),
+            data_is_lhs=False)  # [M, _B*F], exact copy
 
     def start_dmas(buf, nbr_row, row):
         for o in range(O):
@@ -133,7 +174,8 @@ def _scaffold(compute, W, M, O, n_occ_ref, q_ref, nbr_now, nbr_nxt,
                 sems.at[buf, o]).wait()
         sL = jnp.concatenate([scratch[buf, o][:, :M] for o in range(O)],
                              axis=1)  # [F, OM]
-        return compute(q_ref[b], sL)
+        q = (qT_all[:, b * F:(b + 1) * F] if q_from_dft else q_ref[b])
+        return compute(q, sL)
 
     base = c * _B
     for b in range(_B):
@@ -159,25 +201,42 @@ def _scaffold(compute, W, M, O, n_occ_ref, q_ref, nbr_now, nbr_nxt,
 
 
 def cell_pair_pallas(df, dfT, n_occ, nbr_slots, cfg: CellGridConfig,
-                     compute, W: int, interpret: bool = False):
+                     compute, W: int, interpret: bool = False,
+                     sent_slot=None):
     """Run ``compute(q, sL) -> [M, W]`` once per occupied cell; returns
     [NC, M, W] f32 (slots past ``n_occ`` are unwritten garbage — only
     ever read back through ``unpack``'s dense_pos gather, which skips
-    them)."""
-    NC, M, F = df.shape
+    them).
+
+    ``df=None`` selects the dfT-only (sorted-pack) path: queries come
+    from dfT's own slot rows through an in-kernel one-hot transpose,
+    and ``sent_slot`` names dfT's all-sentinel row for missing-neighbor
+    stencil entries (the gather-packed layout appends it at NC; the
+    sorted pack always writes one at min(n_occ, NC))."""
+    NC = cfg.NC_max
+    M = cfg.M
     O = nbr_slots.shape[1]
-    kern = functools.partial(_scaffold, compute, W, M, O)
+    q_from_dft = df is None
+    F = dfT.shape[1] if q_from_dft else df.shape[2]
+    lane = -(-M // 128) * 128
+    kern = functools.partial(_scaffold, compute, W, M, O, q_from_dft)
     NCp = -(-NC // _B) * _B
     nprog = NCp // _B
+    if sent_slot is None:
+        sent_slot = jnp.int32(NC)
     # dynamic grid bound: only programs covering occupied cells run
     n_occ_i = jnp.minimum(jnp.asarray(n_occ, jnp.int32), NCp)
     nprog_dyn = (jnp.maximum(n_occ_i, 0) + _B - 1) // _B
+    q_spec = (pl.BlockSpec((_B, F, lane), lambda c, n: (c, 0, 0),
+                           memory_space=pltpu.VMEM)
+              if q_from_dft else
+              pl.BlockSpec((_B, M, F), lambda c, n: (c, 0, 0),
+                           memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nprog_dyn,),
         in_specs=[
-            pl.BlockSpec((_B, M, F), lambda c, n: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
+            q_spec,
             pl.BlockSpec((_B, O), lambda c, n: (c, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_B, O),
@@ -188,23 +247,38 @@ def cell_pair_pallas(df, dfT, n_occ, nbr_slots, cfg: CellGridConfig,
         out_specs=pl.BlockSpec((_B, M, W), lambda c, n: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((_D, O, F, -(-M // 128) * 128), jnp.float32),
+            pltpu.VMEM((_D, O, F, lane), jnp.float32),
             pltpu.SemaphoreType.DMA((_D, O)),
         ],
     )
-    slots = jnp.minimum(nbr_slots, NC).astype(jnp.int32)
+    slots = jnp.where(nbr_slots < NC, nbr_slots,
+                      sent_slot).astype(jnp.int32)
     if NCp != NC:
         slots = jnp.concatenate(
-            [slots, jnp.full((NCp - NC, O), NC, jnp.int32)], axis=0)
-        df = jnp.concatenate(
-            [df, jnp.broadcast_to(jnp.asarray(_SENT, df.dtype),
-                                  (NCp - NC, M, F))], axis=0)
+            [slots, jnp.broadcast_to(jnp.asarray(sent_slot, jnp.int32),
+                                     (NCp - NC, O))], axis=0)
+    if q_from_dft:
+        # dfT covers >= NCp+1 rows by construction (expand_dft_pallas
+        # pads a full extra block) — its own rows are the query blocks
+        q_in = dfT
+        if dfT.shape[0] < NCp:
+            q_in = jnp.concatenate(
+                [dfT, jnp.broadcast_to(
+                    jnp.asarray(_SENT, dfT.dtype)[None, :, None],
+                    (NCp - dfT.shape[0], F, lane))], axis=0)
+        dfT = q_in
+    else:
+        q_in = df
+        if NCp != NC:
+            q_in = jnp.concatenate(
+                [df, jnp.broadcast_to(jnp.asarray(_SENT, df.dtype),
+                                      (NCp - NC, M, F))], axis=0)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NCp, M, W), jnp.float32),
         interpret=interpret,
-    )(jnp.asarray(n_occ, jnp.int32).reshape(1), df, slots, slots, dfT)
+    )(jnp.asarray(n_occ, jnp.int32).reshape(1), q_in, slots, slots, dfT)
     return out[:NC]
 
 
@@ -227,7 +301,8 @@ def _pair_geom(q, sL, kernel: Kernel):
 def fluid_rates_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
                        kernel: Kernel, df, dfT, nu_edac: float, c0: float,
                        edac: bool, has_rigid: bool,
-                       interpret: bool = False, dense: bool = False):
+                       interpret: bool = False, dense: bool = False,
+                       sent_slot=None):
     """Pass R on the Pallas scaffold: per-particle (arho, ap)
     (``fluid_cell.fluid_rates_cell`` physics, reference
     ContinuityEquation + EDAC :67-141).  ``dense=True`` skips the
@@ -276,7 +351,8 @@ def fluid_rates_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
         return jnp.concatenate([arho, ap], axis=1)
 
     out = cell_pair_pallas(df, dfT, grid.n_occupied, grid.nbr_slots, cfg,
-                           compute, 2, interpret=interpret)
+                           compute, 2, interpret=interpret,
+                           sent_slot=sent_slot)
     if dense:
         return out
     n = scene.n
@@ -288,7 +364,8 @@ def fluid_rates_wall_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
                             kernel: Kernel, df, dfT, nu_edac: float,
                             c0: float, edac: bool, has_rigid: bool,
                             gx: float, gy: float, gz: float,
-                            interpret: bool = False, dense: bool = False):
+                            interpret: bool = False, dense: bool = False,
+                            sent_slot=None):
     """Fused pass R+W: rates (fluid dests) AND the Adami wall-BC sums
     (solid dests) in ONE kernel sweep -> [NC, M, 7] (arho, ap, uf, vf,
     wf, sw, p_num).
@@ -361,7 +438,8 @@ def fluid_rates_wall_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
              lsum(w), lsum((sr(_FP) + sr(_FRHO) * gdotx) * w)], axis=1)
 
     out = cell_pair_pallas(df, dfT, grid.n_occupied, grid.nbr_slots, cfg,
-                           compute, 7, interpret=interpret)
+                           compute, 7, interpret=interpret,
+                           sent_slot=sent_slot)
     if dense:
         return out
     n = scene.n
@@ -372,7 +450,7 @@ def fluid_rates_wall_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
 def wall_bc_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
                    kernel: Kernel, df, dfT, gx: float, gy: float,
                    gz: float, interpret: bool = False,
-                   dense: bool = False):
+                   dense: bool = False, sent_slot=None):
     """Pass W: Shepard sums (uf, vf, wf, wij_sum, p_num) for solid
     destinations (``fluid_cell.wall_bc_cell``; Adami BC :145-226)."""
     cutoff = cfg.radius
@@ -394,7 +472,8 @@ def wall_bc_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
              lsum(w), lsum((sr(_FP) + sr(_FRHO) * gdotx) * w)], axis=1)
 
     out = cell_pair_pallas(df, dfT, grid.n_occupied, grid.nbr_slots, cfg,
-                           compute, 5, interpret=interpret)
+                           compute, 5, interpret=interpret,
+                           sent_slot=sent_slot)
     if dense:
         return out
     n = scene.n
@@ -470,7 +549,8 @@ def _forces_cols(q, sL, kernel: Kernel, cutoff, fluid_alpha, c0,
 def fluid_forces_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
                         kernel: Kernel, df, dfT, fluid_alpha: float,
                         c0: float, has_rigid: bool,
-                        interpret: bool = False, dense: bool = False):
+                        interpret: bool = False, dense: bool = False,
+                        sent_slot=None):
     """Pass F: fluid au/av/aw (pressure gradient + artificial viscosity
     + rigid->fluid) and the fluid->rigid force
     (``fluid_cell.fluid_forces_cell``; reference :489-554).
@@ -485,7 +565,8 @@ def fluid_forces_pallas(scene, grid: CellGrid, cfg: CellGridConfig,
                             has_rigid)
 
     out = cell_pair_pallas(df, dfT, grid.n_occupied, grid.nbr_slots, cfg,
-                           compute, 6, interpret=interpret)
+                           compute, 6, interpret=interpret,
+                           sent_slot=sent_slot)
     if dense:
         return out
     n = scene.n
@@ -498,7 +579,8 @@ def fluid_forces_contact_pallas(scene, grid: CellGrid,
                                 df, dfT, fluid_alpha: float, c0: float,
                                 has_rigid: bool, S: int,
                                 init_dist: float,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                sent_slot=None):
     """Fused pass F+C: the fluid momentum/FSI pass AND the full Mofidi
     contact pair pipeline (``pallas_contact._pair_body`` on the union
     layout) in ONE kernel sweep -> dense [NC, M, Wp + 6] f32 where the
@@ -525,4 +607,5 @@ def fluid_forces_contact_pallas(scene, grid: CellGrid,
         return jnp.concatenate([contact_cols[:, :Wp], force_cols], axis=1)
 
     return cell_pair_pallas(df, dfT, grid.n_occupied, grid.nbr_slots,
-                            cfg, compute, Wp + 6, interpret=interpret)
+                            cfg, compute, Wp + 6, interpret=interpret,
+                            sent_slot=sent_slot)
