@@ -52,9 +52,11 @@ def main():
         from bench import build_dem_scene_3d
         scheme, scene = build_dem_scene_3d()
         # 3D: the 27-entry stencil makes the packed slot table wide;
-        # smaller factors keep OM (candidate lanes/query) bounded
-        grid = [(1.5, 8), (2.0, 8), (2.5, 8), (3.0, 8),
-                (2.0, 16), (2.5, 16), (3.0, 16), (4.0, 16)]
+        # smaller factors keep OM (candidate lanes/query) bounded.
+        # Round 1 of the sweep: (2.0, 8) best at 89.8 ms @179k
+        # ((1.5,8) 196, (2.5,8) 152, (3,8) 160, (2,16) 135, (2.5,16)
+        # 105, (3,16) 92, (4,16) 141); round 2 refines around it.
+        grid = [(1.8, 8), (2.0, 8), (2.2, 8), (2.4, 8)]
     else:
         from bench import build_dem_scene
         scheme, scene = build_dem_scene()
