@@ -67,7 +67,10 @@ class DEMScheme(Scheme):
         # 3D (SWEEP_3D=1 @179k grains): coarse bins explode the
         # 27-stencil's packed width — (4,16) 141, (3,16) 92, (2.5,16)
         # 105, (2,8) 89.8, (1.5,8) 196 ms — so 3D defaults to
-        # (2.0, M=8).  ``cell_factor``/``cell_M`` remain overridable.
+        # (2.0, M=8).  A refinement sweep confirmed it is a
+        # quantization optimum: (1.8,8) 106 (more slots, same O=48),
+        # (2.2,8)/(2.4,8) 105/121 (O jumps 48 -> 96).
+        # ``cell_factor``/``cell_M`` remain overridable.
         self.cell_factor = 4.0 if dim == 2 else 2.0
         self.cell_M = None if dim == 2 else 8
         # DEM Pallas grid layout: "spill" (the cell-keyed spillover
