@@ -256,3 +256,56 @@ def test_ordering_energy_regression():
     assert ke_kdkf < 1e-2, ke_kdkf
     assert abs(ke_ref - ke_kdk) < 0.25 * max(ke_ref, ke_kdk)
     assert abs(ke_kdkf - ke_kdk) < 0.25 * max(ke_kdkf, ke_kdk)
+
+
+def test_kdkf_tait_tracks_kdk_tait():
+    """The no-EDAC (Tait EOS) branch of the fused kdkf step — p patched
+    from Tait(rho_new) in dense space — must track the two-build kdk
+    step, same envelope as the EDAC tracking test."""
+    def build(ordering):
+        scheme, scene, dx, gy, rho0 = _tank_scene(with_body=True)
+        scheme.engine = "cell"
+        scheme.edac = False
+        scheme.gtvf_ordering = ordering
+        return scheme, scene
+
+    sch_f, sc_f = build("kdkf")
+    sch_k, sc_k = build("kdk")
+    step_f = sch_f.make_step(sc_f)
+    step_k = sch_k.make_step(sc_k)
+    dt = jnp.asarray(1e-4)
+    for _ in range(5):
+        sc_f = step_f(sc_f, dt)
+        sc_k = step_k(sc_k, dt)
+    # measured over 5 steps (f64): x/y ~3.7e-7, u/v ~9e-4, p ~1.1e-3
+    # — larger than the EDAC deviation because Tait couples p to rho
+    # stiffly (c0^2), so the one-step p-staging lag feeds velocities
+    # directly; ~30x headroom
+    for k, atol in dict(x=1e-5, y=1e-5, u=3e-2, v=3e-2, rho=2e-4,
+                        p=4e-2, p_fsi=4e-4, fx=1e-5, fy=1e-5).items():
+        np.testing.assert_allclose(np.asarray(sc_f[k]),
+                                   np.asarray(sc_k[k]),
+                                   atol=atol, rtol=0, err_msg=k)
+    assert np.isfinite(np.asarray(sc_f.u)).all()
+
+
+def test_rk2_fluid_stepper_hydrostatic():
+    """The RK2 predictor-corrector coupling step (reference
+    RK2FluidStep semantics, Tait-only) holds the hydrostatic tank near
+    rest for 100 steps."""
+    scheme, scene, dx, gy, rho0 = _tank_scene(with_body=False)
+    scheme.engine = "cell"
+    scheme.edac = False
+    scheme.fluid_stepper = "rk2"
+    step = scheme.make_step(scene)
+    dt = jnp.asarray(1e-4)
+    s = scene
+    for _ in range(100):
+        s = step(s, dt)
+    fl = np.asarray(s.is_fluid)
+    u = np.asarray(s.u)[fl]
+    v = np.asarray(s.v)[fl]
+    vmag = np.sqrt(u**2 + v**2)
+    assert np.isfinite(vmag).all()
+    assert vmag.max() < 0.2, vmag.max()
+    np.testing.assert_allclose(np.asarray(s.rho)[fl], rho0, rtol=0.05)
