@@ -114,7 +114,7 @@ def pack_fluid_sorted(scene, cfg: CellGridConfig,
     return grid, dfT, jnp.minimum(grid.n_occupied, cfg.NC_max)
 
 
-_B = 8  # cells per kernel program (amortizes Mosaic grid-step dispatch;
+_B = 16  # cells per kernel program (amortizes Mosaic grid-step dispatch;
 #         see pallas_contact._B)
 _D = 8  # DMA pipeline depth (cells in flight).  The fluid passes'
 #        per-cell compute is tiny (~0.1 us) compared to contact, so a
