@@ -391,7 +391,8 @@ if __name__ == "__main__":
     name = {"rigid": "rigid-contact", "rigid3d": "rigid-contact-3d",
             "dem": "DEM-LVC", "dem3d": "DEM-LVC-3d",
             "coupling": "rigid-fluid-coupling"}.get(workload, workload)
-    nbrs = 250 if workload == "rigid3d" else 48
+    # ~48 2D / ~250 3D candidate lanes per query (same ratio for DEM)
+    nbrs = 250 if workload in ("rigid3d", "dem3d") else 48
     pair_evals = r["steps_per_sec"] * r["n"] * nbrs * 2  # 2 pair passes
     print(json.dumps({
         "metric": f"{name} steps/sec @ {r['n']} particles "

@@ -426,7 +426,10 @@ class RigidFluidCouplingScheme(Scheme):
 
         S = scene.meta.total_no_bodies
         init_dist = 4.0 * scene.meta.spacing0
-        Wp = -(-12 * S // 128) * 128
+        # fused F+C layout: 12S contact columns, then the 6 force
+        # columns, zero-padded to a 128 multiple (pallas_fluid.
+        # fluid_forces_contact_pallas)
+        W12 = 12 * S
 
         def eval_passes(scene, dt):
             """Grid build + all fluid passes on one pack with dense
@@ -495,7 +498,8 @@ class RigidFluidCouplingScheme(Scheme):
                     flat = cellmod.unpack(grid, ccfg, big, scene.n,
                                           0.0).astype(scene.x.dtype)
                     out = jnp.concatenate(
-                        [flat[:, :7], flat[:, 7 + Wp:]], axis=1)
+                        [flat[:, :7], flat[:, 7 + W12:7 + W12 + 6]],
+                        axis=1)
                     cp = flat[:, 7:7 + 12 * S].reshape(scene.n, 12, S)
                     dinfo = dict(
                         contact_force_dist=cp[:, 4],

@@ -597,15 +597,27 @@ def fluid_forces_contact_pallas(scene, grid: CellGrid,
     from .pallas_contact import _pair_body
 
     cutoff = cfg.radius
-    Wp = -(-12 * S // 128) * 128
+    W12 = 12 * S
+    # the 6 force columns sit right after the 12S contact columns and
+    # the whole block pads to a 128 multiple (misaligned VMEM->HBM
+    # copy-out runs ~40x off bandwidth — see pallas_contact._pair_body's
+    # padding note); for typical S the forces ride the contact block's
+    # existing alignment pad at zero extra width
+    Wtot = -(-(W12 + 6) // 128) * 128
 
     def compute(q, sL):
         force_cols = _forces_cols(q, sL, kernel, cutoff, fluid_alpha,
                                   c0, has_rigid)
         contact_cols = _pair_body(S, q.shape[0], cutoff, float(init_dist),
                                   kernel, q, sL, two_d=False, union=True)
-        return jnp.concatenate([contact_cols[:, :Wp], force_cols], axis=1)
+        cols = jnp.concatenate([contact_cols[:, :W12], force_cols],
+                               axis=1)
+        if W12 + 6 < Wtot:
+            cols = jnp.concatenate(
+                [cols, jnp.zeros((q.shape[0], Wtot - W12 - 6),
+                                 jnp.float32)], axis=1)
+        return cols
 
     return cell_pair_pallas(df, dfT, grid.n_occupied, grid.nbr_slots,
-                            cfg, compute, Wp + 6, interpret=interpret,
+                            cfg, compute, Wtot, interpret=interpret,
                             sent_slot=sent_slot)

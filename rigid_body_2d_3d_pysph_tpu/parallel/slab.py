@@ -753,6 +753,34 @@ def make_slab_coupling_step(scheme, scene: Scene, mesh: Mesh,
         scene_e = Scene(ext, scene_l.meta)
         return scene_e, grigid_src & gvalid, ovr | ovl
 
+    # slot fields the contact eval updates (shared by both stagings'
+    # local steps — a single list so a new field cannot be dropped from
+    # one staging only)
+    CONTACT_KEEP = (
+        "fx", "fy", "fz", "delta_lt_x", "delta_lt_y", "delta_lt_z",
+        "fn_x", "fn_y", "fn_z", "contact_force_normal_x",
+        "contact_force_normal_y", "contact_force_normal_z",
+        "contact_force_normal_wij", "contact_force_dist",
+        "closest_point_dist_to_source", "x_source", "y_source",
+        "z_source", "vx_source", "vy_source", "vz_source")
+
+    def contact_and_reduce(scene_l, scene_e, grid, dt, extra, nl):
+        """Contact pipeline on the extended scene (ghost sources carry
+        cfib/dem; is_rigid=0 keeps them source-only) + the per-body
+        force/torque psum + local-row writeback."""
+        if extra is not None:
+            extra = tuple(jnp.concatenate([e, jnp.zeros(2 * H, fdt)])
+                          for e in extra)
+        scene_c = rb.rigid_contact_force_eval_cell(
+            scene_e, grid, local_cfg, kernel, params, dt,
+            extra_fx=extra, pipeline=pipeline)
+        upd = {k: v[:nl] for k, v in scene_c.fields.items()
+               if k in CONTACT_KEEP and hasattr(v, "ndim")
+               and v.ndim >= 1 and v.shape[0] == nl + 2 * H}
+        return scene_l.replace(
+            force=jax.lax.psum(scene_c.force, "p"),
+            torque=jax.lax.psum(scene_c.torque, "p"), **upd)
+
     def local_step_kdkf(scene_l: Scene, dt):
         """Fused one-grid staging (the single-chip default): drift
         first, ONE ghost exchange + grid at x_{n+1}, rates AND wall
@@ -904,39 +932,11 @@ def make_slab_coupling_step(scheme, scene: Scene, mesh: Mesh,
             ffy = jnp.where(rbm, fyv[:nl], 0.0)
             ffz = jnp.where(rbm, fzv[:nl], 0.0)
         if has_rigid:
-            extra = (ffx, ffy, ffz) if has_fluid else None
             # scene_e already carries the updated local rho/p and the
-            # patched ghost columns (contact's gates exclude fluid
-            # anyway; vol=m/rho only matters for solid sources)
-            scene_c = scene_e
-            if extra is not None:
-                extra = (jnp.concatenate(
-                    [extra[0], jnp.zeros(2 * H, fdt)]),
-                    jnp.concatenate([extra[1], jnp.zeros(2 * H, fdt)]),
-                    jnp.concatenate([extra[2], jnp.zeros(2 * H, fdt)]))
-            scene_c = rb.rigid_contact_force_eval_cell(
-                scene_c, grid, local_cfg, kernel, params, dt,
-                extra_fx=extra, pipeline=pipeline)
-            force = jax.lax.psum(scene_c.force, "p")
-            torque = jax.lax.psum(scene_c.torque, "p")
-            keep = {}
-            for k, v in scene_c.fields.items():
-                if (hasattr(v, "ndim") and v.ndim >= 1
-                        and v.shape[0] == nl + 2 * H):
-                    keep[k] = v[:nl]
-            scene_l = scene_l.replace(**{
-                k: keep[k] for k in keep
-                if k in ("fx", "fy", "fz", "delta_lt_x", "delta_lt_y",
-                         "delta_lt_z", "fn_x", "fn_y", "fn_z",
-                         "contact_force_normal_x",
-                         "contact_force_normal_y",
-                         "contact_force_normal_z",
-                         "contact_force_normal_wij",
-                         "contact_force_dist",
-                         "closest_point_dist_to_source",
-                         "x_source", "y_source", "z_source",
-                         "vx_source", "vy_source", "vz_source")})
-            scene_l = scene_l.replace(force=force, torque=torque)
+            # patched ghost columns
+            scene_l = contact_and_reduce(
+                scene_l, scene_e, grid, dt,
+                (ffx, ffy, ffz) if has_fluid else None, nl)
         scene_l = scene_l.replace(nbr_overflow=ovf)
 
         # ---- second half-kick ----
@@ -1117,39 +1117,9 @@ def make_slab_coupling_step(scheme, scene: Scene, mesh: Mesh,
             ffy = jnp.where(rbm, fyv[:nl], 0.0)
             ffz = jnp.where(rbm, fzv[:nl], 0.0)
         if has_rigid:
-            extra = (ffx, ffy, ffz) if has_fluid else None
-            # contact pipeline on the extended scene (ghost sources
-            # carry cfib/dem; is_rigid=0 keeps them source-only)
-            scene_c = scene_e
-            if extra is not None:
-                extra = (jnp.concatenate(
-                    [extra[0], jnp.zeros(2 * H, fdt)]),
-                    jnp.concatenate([extra[1], jnp.zeros(2 * H, fdt)]),
-                    jnp.concatenate([extra[2], jnp.zeros(2 * H, fdt)]))
-            scene_c = rb.rigid_contact_force_eval_cell(
-                scene_c, grid, local_cfg, kernel, params, dt,
-                extra_fx=extra, pipeline=pipeline)
-            force = jax.lax.psum(scene_c.force, "p")
-            torque = jax.lax.psum(scene_c.torque, "p")
-            keep = {}
-            for k, v in scene_c.fields.items():
-                if (hasattr(v, "ndim") and v.ndim >= 1
-                        and v.shape[0] == nl + 2 * H):
-                    keep[k] = v[:nl]
-            # contact slot state + forces updated by the eval
-            scene_l = scene_l.replace(**{
-                k: keep[k] for k in keep
-                if k in ("fx", "fy", "fz", "delta_lt_x", "delta_lt_y",
-                         "delta_lt_z", "fn_x", "fn_y", "fn_z",
-                         "contact_force_normal_x",
-                         "contact_force_normal_y",
-                         "contact_force_normal_z",
-                         "contact_force_normal_wij",
-                         "contact_force_dist",
-                         "closest_point_dist_to_source",
-                         "x_source", "y_source", "z_source",
-                         "vx_source", "vy_source", "vz_source")})
-            scene_l = scene_l.replace(force=force, torque=torque)
+            scene_l = contact_and_reduce(
+                scene_l, scene_e, grid, dt,
+                (ffx, ffy, ffz) if has_fluid else None, nl)
         scene_l = scene_l.replace(nbr_overflow=ovf)
 
         # ---- second half-kick with fresh accelerations ----

@@ -84,11 +84,12 @@ def main():
     p.add_argument("--force", action="store_true")
     p.add_argument("--max-steps", type=int, default=None,
                    help="cap steps per case (smoke runs)")
-    p.add_argument("--validate", metavar="JSON", nargs="?",
-                   const="VALIDATE.json", default=None,
+    p.add_argument("--validate", action="store_true",
                    help="after the runs, execute validate.py over every "
-                        "case and write the committed evidence artifact "
-                        "(default VALIDATE.json)")
+                        "case and write the evidence artifact")
+    p.add_argument("--validate-json", metavar="JSON",
+                   default="VALIDATE.json",
+                   help="path for the --validate artifact")
     args = p.parse_args()
 
     if args.list:
@@ -103,7 +104,7 @@ def main():
     if args.validate:
         r = subprocess.run([sys.executable,
                             os.path.join(HERE, "validate.py"),
-                            "--json", args.validate])
+                            "--json", args.validate_json])
         rc = rc or r.returncode
     return rc
 

@@ -151,7 +151,6 @@ def test_jitted_redistribute_matches_host(slab_setup):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_jitted_redistribute_long_run_matches_single_device(slab_setup):
     """60 steps with on-device redistribution every 10 (bodies fall and
     slide; rows migrate across slab boundaries) vs the single-device

@@ -267,6 +267,9 @@ def main(argv):
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: validate.py [--json PATH] [case ...]")
+            return 2
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     names = argv or list(CHECKS)
@@ -290,8 +293,10 @@ def main(argv):
             d = os.path.join(HERE, f"{case}_output")
             if not os.path.isdir(d):
                 continue
-            for f in os.listdir(d):
-                if f.endswith(".info.json"):
+            infos = sorted(
+                (f for f in os.listdir(d) if f.endswith(".info.json")),
+                key=lambda f: os.path.getmtime(os.path.join(d, f)))
+            for f in infos[-1:]:  # newest run's info, deterministically
                     with open(os.path.join(d, f)) as fh:
                         info = json.load(fh)
                     perf[case] = dict(
