@@ -215,9 +215,13 @@ def test_pallas_dem_3d_matches_cell():
               for k, v in scene.fields.items()}
     scene = type(scene)(fields, scene.meta)
     cutoff = 2.0 * float(np.asarray(scene.rad_s).max())
+    # the scheme's PRODUCTION 3D grid (cell_factor 2.0, M=8 from the
+    # SWEEP_3D sweep) so the equivalence test covers the exact deployed
+    # configuration, narrow lanes included
     cfg = cellmod.config_from_positions(
         np.asarray(scene.x), np.asarray(scene.y), np.asarray(scene.z),
-        cutoff, 3, cell_chunk=16, cell_factor=2.0)
+        cutoff, 3, cell_chunk=16, cell_factor=scheme.cell_factor,
+        M=scheme.cell_M, spill=True)
     dt = jnp.asarray(1e-5, jnp.float32)
 
     @jax.jit
