@@ -64,7 +64,10 @@ class Solver:
         os.makedirs(self.output_dir, exist_ok=True)
         path = os.path.join(self.output_dir,
                             f"snapshot_{self.count:06d}.npz")
-        out_mod.write_snapshot(path, self.scene, self.t, self.dt, self.count,
+        # IO view: schemes with compact slot storage materialize their
+        # [N, S] fields here (identity otherwise)
+        out_mod.write_snapshot(path, self.scheme.export_scene(self.scene),
+                               self.t, self.dt, self.count,
                                self.output_fields)
         self.output_files.append(path)
 
@@ -83,6 +86,7 @@ class Solver:
             if cp:
                 self.scene, self.t, done = ckpt_mod.load_checkpoint(
                     cp, self.scene)
+                self.scene = self.scheme.adapt_scene(self.scene)
                 self.count = done
                 if not quiet:
                     print(f"resumed from {cp} at step {done}", flush=True)
@@ -124,6 +128,9 @@ class Solver:
                         "neighbor capacity overflow persists after 8 grid "
                         "rebuilds — the scene is likely diverging")
                 self.scheme.refresh_configs(chunk_start, grow=rebuilds > 1)
+                # capacity-shaped scene state (e.g. the rigid compact
+                # slot store) must be re-sized with the configs
+                chunk_start = self.scheme.adapt_scene(chunk_start)
                 step = self.scheme.make_step(chunk_start)
                 multi = make_multi_step(step, self.pfreq)
                 self.scene = chunk_start

@@ -63,6 +63,17 @@ class Scheme:
     def make_step(self, scene: Scene):
         raise NotImplementedError
 
+    def adapt_scene(self, scene: Scene) -> Scene:
+        """Align scheme-owned scene fields with the current configs
+        after a capacity rebuild (identity unless a scheme carries
+        capacity-shaped state, e.g. the rigid compact slot store)."""
+        return scene
+
+    def export_scene(self, scene: Scene) -> Scene:
+        """IO view of the scene (identity unless the scheme stores
+        state compactly)."""
+        return scene
+
     def refresh_configs(self, scene: Scene, grow: bool = False) -> None:
         """Drop every cached neighbor/cell-grid config so the next
         ``make_step`` re-sizes capacities from the CURRENT particle
@@ -150,6 +161,13 @@ class SchemeChooser(Scheme):
         # the Solver's overflow rebuild would then silently re-use the
         # overflowing config forever
         return self.scheme.refresh_configs(scene, grow=grow)
+
+    def adapt_scene(self, scene):
+        # explicit: inherited identity would shadow the scheme's
+        return self.scheme.adapt_scene(scene)
+
+    def export_scene(self, scene):
+        return self.scheme.export_scene(scene)
 
     @property
     def capacity_boost(self):

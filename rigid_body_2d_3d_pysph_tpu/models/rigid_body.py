@@ -223,7 +223,25 @@ class _RigidBodySchemeBase(Scheme):
         if self.engine in ("cell", "pallas") and self.skin_factor > 0:
             scene = attach_grid_fields(scene,
                                        self.cell_config(scene, kernel))
+        if self._compact_enabled():
+            cfg = self.cell_config(scene, kernel)
+            scene = compact_slot_scene(scene, self.ni_max(cfg) * cfg.M)
         return scene
+
+    def adapt_scene(self, scene: Scene) -> Scene:
+        """Align carried compact-store shapes with the current configs
+        (called by the Solver after an overflow-rebuild raised
+        capacities; scan carries need input == output shapes)."""
+        if "cl_pid" in scene and self._compact_enabled():
+            kernel = get_kernel(self.kernel_name, self.dim)
+            cfg = self.cell_config(scene, kernel)
+            return migrate_compact_scene(scene, self.ni_max(cfg) * cfg.M)
+        return scene
+
+    def export_scene(self, scene: Scene) -> Scene:
+        """IO view of the scene: [N, S] slot fields materialized from
+        the compact store (identity for full scenes)."""
+        return expand_slot_scene(scene)
 
     def set_linear_velocity(self, scene, vel):
         return rigid_setup.set_linear_velocity(scene, vel)
@@ -240,6 +258,33 @@ class _RigidBodySchemeBase(Scheme):
                 skin=self.skin_factor * cutoff,
                 capacity_boost=self.capacity_boost)
         return self._cell_cfg
+
+    def _compact_enabled(self) -> bool:
+        """The compact slot-state path: Pallas GTVF sorted-pack engine
+        only (the configurations the TPU production step uses).
+        ``RB_NO_COMPACT=1`` forces the full [N, S] schema."""
+        import os
+        if os.environ.get("RB_NO_COMPACT"):
+            return False
+        if (self.engine != "pallas" or self.skin_factor > 0
+                or getattr(self, "integrator", "gtvf") != "gtvf"):
+            return False
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            return False
+        return (on_tpu and config.float_dtype() == jnp.float32
+                and self.kernel_name == "quintic")
+
+    def ni_max(self, cfg: cellmod.CellGridConfig) -> int:
+        """Static interesting-slot capacity for the compact pipeline:
+        enough for contact-dense small scenes (NI = NC), and a small
+        fraction of NC at scale (interest is surface-bound in lattice
+        scenes); the Solver's overflow-rebuild widens it via
+        capacity_boost when the cull finds more."""
+        nc = cfg.NC_max
+        ni = int(np.ceil(max(512, nc // 16) * self.capacity_boost))
+        return min(nc, ni)
 
     def _cell_pipeline(self):
         """Pair-pipeline for the cell layout: the Pallas kernel when
@@ -279,9 +324,12 @@ class _RigidBodySchemeBase(Scheme):
                                              cell_cfg=cell_cfg,
                                              pipeline=pipeline)
         if self.engine in ("cell", "pallas"):
+            cfg = self.cell_config(scene, kernel)
+            compact = self._compact_enabled() and "cl_pid" in scene
             return build_rigid_gtvf_step_cell(
-                kernel, self.cell_config(scene, kernel), params, self.two_d,
-                pipeline=self._cell_pipeline())
+                kernel, cfg, params, self.two_d,
+                pipeline=self._cell_pipeline(),
+                ni_max=self.ni_max(cfg) if compact else None)
         if self._nbr_cfg is None:
             self._nbr_cfg = self.neighbor_config(scene, kernel.radius_scale)
         return build_rigid_gtvf_step(kernel, self._nbr_cfg, params,
@@ -429,16 +477,238 @@ def rigid_contact_force_eval_cell(scene, grid, cell_cfg, kernel, params, dt,
 
 
 def rigid_contact_force_eval_sorted(scene, cell_cfg, kernel, params, dt,
-                                    extra_fx=None):
+                                    extra_fx=None, interpret: bool = False):
     """Stage-2 force evaluation on the sorted-pack Pallas fast path
     (grid build + pack fused through the cell sort — the grid comes OUT
     of the pipeline here).  Returns ``(scene, grid_overflow)``."""
     from ..ops import pallas_contact as pcops
     cfn_x, cfn_y, cfn_z, cfn_w, dinfo, grid = \
-        pcops.contact_pipeline_sorted_pallas(scene, cell_cfg, kernel)
+        pcops.contact_pipeline_sorted_pallas(scene, cell_cfg, kernel,
+                                             interpret=interpret)
     scene = _contact_force_tail(scene, cfn_x, cfn_y, cfn_z, cfn_w, dinfo,
                                 params, dt, extra_fx)
     return scene, grid.overflow
+
+
+# cl_state column blocks (S columns each), in order: the 12
+# kernel-derived fields, then sorted(contact_force outputs).  The
+# persistent tangential springs (delta_lt_*, fn_*) are blocks 12..17.
+CL_FIELDS = (
+    "contact_force_normal_x", "contact_force_normal_y",
+    "contact_force_normal_z", "contact_force_normal_wij",
+    "contact_force_dist", "closest_point_dist_to_source",
+    "x_source", "y_source", "z_source",
+    "vx_source", "vy_source", "vz_source",
+    "delta_lt_x", "delta_lt_y", "delta_lt_z",
+    "fn_x", "fn_y", "fn_z",
+    "ft_x", "ft_y", "ft_z",
+    "overlap", "ti_x", "ti_y", "ti_z",
+)
+_CL_SPRING0 = 12  # first spring block
+
+
+def compact_slot_scene(scene: Scene, L: int) -> Scene:
+    """Convert a full scene to COMPACT slot-state storage: the 25
+    [N, S] contact-slot fields are replaced by ``cl_pid [L] i32``
+    (covered particle ids, n = empty) and ``cl_state [L, 25S] f32``
+    (their slot rows, CL_FIELDS block order).
+
+    Rationale: per-particle [N, S] materialization is the dominant cost
+    of the contact step at scale — S=9-minor arrays run ~4-8x off
+    bandwidth on the TPU's (8,128) vregs, and the full-path step spends
+    more time storing diagnostics than computing physics at 1M.  The
+    compact store writes one well-shaped [L, 25S] row block instead;
+    [N, S] views materialize lazily (``expand_slot_scene``) for IO,
+    checkpoints, the slab exchange, and tests.
+
+    Host-side (numpy).  The scene must be "virgin or expanded": a row
+    not representable in L slots raises."""
+    import numpy as np_
+
+    if "cl_pid" in scene:
+        return migrate_compact_scene(scene, L)
+    n, S = scene.n, scene.meta.total_no_bodies
+    fdt = scene.x.dtype
+    init_dist = 4.0 * scene.meta.spacing0
+    dev = np_.zeros(n, bool)
+    cols = []
+    for name in CL_FIELDS:
+        v = np_.asarray(scene[name])
+        base = init_dist if name == "closest_point_dist_to_source" else 0.0
+        # pre-first-eval scenes hold 0 in `closest` — equivalent (the
+        # value is never read before the first eval overwrites it)
+        dv = (v != base).any(axis=1)
+        if name == "closest_point_dist_to_source":
+            dv &= (v != 0.0).any(axis=1)
+        dev |= dv
+        cols.append(v)
+    idx = np_.nonzero(dev)[0]
+    if len(idx) > L:
+        raise ValueError(f"{len(idx)} occupied slot rows exceed the "
+                         f"compact capacity {L}")
+    cl_pid = np_.full(L, n, np_.int32)
+    cl_pid[: len(idx)] = idx
+    cl_state = np_.zeros((L, 25 * S), np_.float32)
+    for i, v in enumerate(cols):
+        cl_state[: len(idx), i * S:(i + 1) * S] = v[idx]
+    fields = {k: v for k, v in scene.fields.items() if k not in CL_FIELDS}
+    fields["cl_pid"] = jnp.asarray(cl_pid)
+    fields["cl_state"] = jnp.asarray(cl_state, fdt)
+    return type(scene)(fields, scene.meta)
+
+
+def migrate_compact_scene(scene: Scene, L: int) -> Scene:
+    """Pad (never shrink) the compact store to a new capacity after an
+    overflow-rebuild raised ni_max."""
+    L0 = scene.cl_pid.shape[0]
+    if L0 == L:
+        return scene
+    if L0 > L:
+        raise ValueError(f"compact capacity cannot shrink ({L0} -> {L})")
+    n = scene.n
+    pad_pid = jnp.full((L - L0,), n, jnp.int32)
+    pad_state = jnp.zeros((L - L0, scene.cl_state.shape[1]),
+                          scene.cl_state.dtype)
+    return scene.replace(
+        cl_pid=jnp.concatenate([scene.cl_pid, pad_pid]),
+        cl_state=jnp.concatenate([scene.cl_state, pad_state]))
+
+
+def expand_slot_scene(scene: Scene) -> Scene:
+    """Materialize the 25 [N, S] slot fields from the compact store
+    (non-covered rows are the init row: zeros, closest = init_dist).
+    Leaves cl_* in place; no-op for full scenes."""
+    if "cl_pid" not in scene:
+        return scene
+    n, S = scene.n, scene.meta.total_no_bodies
+    fdt = scene.cl_state.dtype
+    init_dist = 4.0 * scene.meta.spacing0
+    tgt = jnp.minimum(scene.cl_pid, n)
+    scat = jnp.zeros((n + 1, 25 * S), fdt).at[tgt].set(
+        scene.cl_state, mode="drop", unique_indices=True)[:n]
+    covered = jnp.zeros((n + 1,), bool).at[tgt].set(
+        True, mode="drop", unique_indices=True)[:n]
+    upd = {}
+    for i, name in enumerate(CL_FIELDS):
+        colv = scat[:, i * S:(i + 1) * S]
+        if name == "closest_point_dist_to_source":
+            colv = jnp.where(covered[:, None], colv,
+                             jnp.asarray(init_dist, fdt))
+        upd[name] = colv
+    return scene.with_fields(**upd)
+
+
+def strip_compact_fields(scene: Scene) -> Scene:
+    """Drop cl_* (after :func:`expand_slot_scene`) — for consumers that
+    carry the full [N, S] schema (the slab exchange)."""
+    if "cl_pid" not in scene:
+        return scene
+    fields = {k: v for k, v in scene.fields.items()
+              if k not in ("cl_pid", "cl_state")}
+    return type(scene)(fields, scene.meta)
+
+
+def rigid_contact_force_eval_compact(scene, cell_cfg, kernel, params, dt,
+                                     ni_max: int, extra_fx=None,
+                                     interpret: bool = False):
+    """Stage-2 force evaluation on the COMPACT interesting-lane path.
+
+    The kernel output never leaves its compacted [NI_max, M, ·] layout:
+    the whole Eq.-24 tail (``ops.contact.contact_force_core``) runs on
+    the NI_max*M compacted lanes and the slot state is STORED compacted
+    (see :func:`compact_slot_scene`) — nothing [N, S]-shaped is ever
+    materialized.  Bit-parity with the full path holds because (a)
+    compacted lanes run the identical ops on identical values, and (b)
+    non-interesting lanes' full-path outputs are KNOWN constants (the
+    init row ⇒ engaged=False ⇒ zero forces / zero slot state /
+    closest = init_dist), which the compact representation encodes
+    implicitly.  The [N]-level force/torque reduction
+    (``sum_up_external_forces``) is unchanged, so body sums keep the
+    full path's summation order.
+
+    Returns ``(scene, overflow)`` — overflow covers the grid AND the
+    interesting-slot capacity (n_interesting > ni_max ⇒ the Solver's
+    overflow-rebuild re-sizes, like every static capacity here)."""
+    from ..ops import pallas_contact as pcops
+
+    out_c, pid, (u_c, v_c, w_c), grid, cull_ovf = \
+        pcops.contact_pipeline_compact_pallas(scene, cell_cfg, kernel,
+                                              ni_max, interpret=interpret)
+    n, S = scene.n, scene.meta.total_no_bodies
+    NI, M = pid.shape
+    L = NI * M
+    fdt = scene.x.dtype
+
+    flat = out_c.reshape(L, out_c.shape[-1]).astype(fdt)  # [L, Wp], free
+    blk = lambda i: flat[:, i * S:(i + 1) * S]
+    cfn_x, cfn_y, cfn_z, cfn_w = blk(0), blk(1), blk(2), blk(3)
+    dinfo = dict(
+        contact_force_dist=blk(4),
+        closest_point_dist_to_source=blk(5),
+        x_source=blk(6), y_source=blk(7), z_source=blk(8),
+        vx_source=blk(9), vy_source=blk(10), vz_source=blk(11),
+    )
+
+    pidf = pid.reshape(L)
+    valid_lane = pidf < n
+    pclip = jnp.minimum(pidf, n - 1)
+    m_c = jnp.where(valid_lane, scene.m.at[pclip].get(mode="clip"), 0.0)
+    bid_c = jnp.where(valid_lane,
+                      scene.body_id.at[pclip].get(mode="clip"), 0)
+
+    # persistent tangential springs from LAST step's compact store:
+    # pid -> previous lane via a scatter-built inverse table, then one
+    # [L]-row gather of the spring blocks (out-of-capacity sentinel
+    # pids drop; uncovered particles read zero springs — exactly the
+    # full path's state)
+    prev_pid = scene.cl_pid
+    Lp = prev_pid.shape[0]
+    inv = jnp.full((n,), Lp, jnp.int32).at[prev_pid].set(
+        jnp.arange(Lp, dtype=jnp.int32), mode="drop",
+        unique_indices=True)
+    prev_lane = inv.at[pclip].get(mode="clip")
+    has_prev = valid_lane & (prev_lane < Lp)
+    spr_rows = scene.cl_state[:, _CL_SPRING0 * S:(_CL_SPRING0 + 6) * S]
+    spr_c = jnp.where(
+        has_prev[:, None],
+        spr_rows.at[jnp.minimum(prev_lane, Lp - 1)].get(mode="clip"),
+        0.0).astype(fdt)                                   # [L, 6S]
+    dlx, dly, dlz = (spr_c[:, 0:S], spr_c[:, S:2 * S],
+                     spr_c[:, 2 * S:3 * S])
+    fnx, fny, fnz = (spr_c[:, 3 * S:4 * S], spr_c[:, 4 * S:5 * S],
+                     spr_c[:, 5 * S:6 * S])
+
+    dfx, dfy, dfz, slots = cops.contact_force_core(
+        u_c.reshape(L).astype(fdt), v_c.reshape(L).astype(fdt),
+        w_c.reshape(L).astype(fdt), m_c, bid_c, scene.eta,
+        scene.meta.nb, scene.meta.spacing0, dt,
+        params["kr"], params["kf"], params["fric_coeff"],
+        cfn_x, cfn_y, cfn_z, dinfo, dlx, dly, dlz, fnx, fny, fnz)
+
+    # ---- per-particle force assembly --------------------------------
+    tgt = jnp.where(valid_lane, pidf, n)          # row n is sliced off
+    fxg, fyg, fzg = rops.body_force(scene, params["gx"], params["gy"],
+                                    params["gz"], scene.is_rigid)
+    dvec = jnp.stack([dfx, dfy, dfz], axis=1)                # [L, 3]
+    dxyz = jnp.zeros((n + 1, 3), fdt).at[tgt].set(
+        dvec, mode="drop", unique_indices=True)[:n]
+    fx = fxg + dxyz[:, 0]
+    fy = fyg + dxyz[:, 1]
+    fz = fzg + dxyz[:, 2]
+    if extra_fx is not None:
+        efx, efy, efz = extra_fx
+        fx, fy, fz = fx + efx, fy + efy, fz + efz
+    force, torque = rops.sum_up_external_forces(scene, fx, fy, fz)
+
+    # ---- new compact slot state (one [L, 25S] write) ----------------
+    new_state = jnp.concatenate(
+        [flat[:, :12 * S]] + [slots[k] for k in CL_FIELDS[12:]],
+        axis=1).astype(jnp.float32)
+    scene = scene.replace(
+        fx=fx, fy=fy, fz=fz, force=force, torque=torque,
+        cl_pid=jnp.where(valid_lane, pidf, n).astype(jnp.int32),
+        cl_state=new_state)
+    return scene, grid.overflow | cull_ovf
 
 
 def _contact_force_tail(scene, cfn_x, cfn_y, cfn_z, cfn_w, dinfo,
@@ -518,23 +788,36 @@ def _is_pallas_pipeline(pipeline):
 
 
 def build_rigid_gtvf_step_cell(kernel, cell_cfg, params: dict, two_d: bool,
-                               pipeline=None):
+                               pipeline=None, ni_max=None):
     """GTVF timestep on the dense cell engine (the TPU production path).
 
     With the Pallas pipeline on a spillover grid (and no Verlet skin),
     the step takes the sorted-pack fast path: the pack fields ride the
     grid build's cell sort and a Pallas kernel expands them straight
     into the contact kernel's dfT layout — no [NC*M]-row gather, no
-    slot2p scatter, no XLA transpose (~37 ms of a 139 ms step at 1M)."""
+    slot2p scatter, no XLA transpose (~37 ms of a 139 ms step at 1M).
+    With ``ni_max`` set (the default from the scheme) it further takes
+    the COMPACT path: kernel + Eq.-24 tail run only on the culled
+    interesting slots and per-particle state returns via one stacked
+    scatter (see :func:`rigid_contact_force_eval_compact`) — at 1M the
+    [N]-row unpack gather, re-expand and [N, S] tail disappear.
+    ``RB_NO_COMPACT=1`` forces the uncompacted sorted path."""
+    import os
     use_sorted = (_is_pallas_pipeline(pipeline) and cell_cfg.spill
                   and cell_cfg.skin <= 0.0)
+    use_compact = (use_sorted and ni_max is not None
+                   and not os.environ.get("RB_NO_COMPACT"))
 
     @jax.jit
     def step(scene: Scene, dt):
         scene = _body_half_kick(scene, dt, two_d)
         scene = _particles_from_body_velocity(scene)
 
-        if use_sorted:
+        if use_compact:
+            scene, ovf = rigid_contact_force_eval_compact(
+                scene, cell_cfg, kernel, params, dt, ni_max)
+            scene = scene.replace(nbr_overflow=scene.nbr_overflow | ovf)
+        elif use_sorted:
             scene, grid_ovf = rigid_contact_force_eval_sorted(
                 scene, cell_cfg, kernel, params, dt)
             scene = scene.replace(nbr_overflow=scene.nbr_overflow | grid_ovf)

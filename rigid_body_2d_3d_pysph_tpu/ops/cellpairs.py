@@ -195,6 +195,7 @@ class PackTables(NamedTuple):
     cnt: jax.Array         # [NC_max] valid lanes in slot (0 for empty)
     n_valid: jax.Array     # scalar int32: active in-domain particles
     slot_cid: jax.Array    # [NC_max] linear cell id per slot (G empty)
+    sorted_pid: jax.Array  # [N] original particle index per sorted row
 
 
 def _cell_keys(x, y, z, active, cfg: CellGridConfig):
@@ -316,7 +317,8 @@ def build_cell_grid(x, y, z, active, cfg: CellGridConfig) -> CellGrid:
 
 
 def _finish_spill_grid(cfg: CellGridConfig, n, G, ks, order, valid_s,
-                       head, idx, dom_overflow, want_pack: bool = False):
+                       head, idx, dom_overflow, want_pack: bool = False,
+                       want_dense_pos: bool = True):
     """Slot-spillover layout: a cell with count > M particles occupies
     ceil(count/M) CONSECUTIVE dense slots (every M-th particle of a cell
     starts a new slot), so M stays a narrow fixed lane width and
@@ -350,7 +352,12 @@ def _finish_spill_grid(cfg: CellGridConfig, n, G, ks, order, valid_s,
         slot_ok, jnp.clip(vslot, 0, NC - 1) * M + lane, NC * M)
     if want_pack:
         slot2p = jnp.zeros((0,), jnp.int32)   # unused on the sorted path
-        _, dense_pos = jax.lax.sort_key_val(order, dense_pos_sorted)
+        if want_dense_pos:
+            _, dense_pos = jax.lax.sort_key_val(order, dense_pos_sorted)
+        else:
+            # the compact pipeline never unpacks through dense_pos —
+            # skipping this sort saves ~3 ms at 1M on v5e
+            dense_pos = jnp.zeros((0,), jnp.int32)
     else:
         slot2p = jnp.full(NC * M + 1, n, jnp.int32).at[
             dense_pos_sorted].set(order.astype(jnp.int32), mode="drop",
@@ -458,7 +465,8 @@ def _finish_spill_grid(cfg: CellGridConfig, n, G, ks, order, valid_s,
     return grid, (base_slot, cnt_slot, n_valid, slot_cid)
 
 
-def build_cell_grid_packed(x, y, z, active, cfg: CellGridConfig, payload):
+def build_cell_grid_packed(x, y, z, active, cfg: CellGridConfig, payload,
+                           want_dense_pos: bool = True):
     """Spillover grid build that carries ``payload`` (a list of [N]
     arrays, cast to f32) through the cell sort, for the Pallas pack
     kernel (``ops.pallas_pack``): returns ``(CellGrid, PackTables)``.
@@ -482,10 +490,12 @@ def build_cell_grid_packed(x, y, z, active, cfg: CellGridConfig, payload):
     head = valid_s & jnp.concatenate(
         [jnp.ones(1, bool), ks[1:] != ks[:-1]])
     grid, pack = _finish_spill_grid(cfg, n, G, ks, order, valid_s, head,
-                                    idx, dom_overflow, want_pack=True)
+                                    idx, dom_overflow, want_pack=True,
+                                    want_dense_pos=want_dense_pos)
     base, cnt, n_valid, slot_cid = pack
     return grid, PackTables(sorted_fields=sorted_fields, base=base,
-                            cnt=cnt, n_valid=n_valid, slot_cid=slot_cid)
+                            cnt=cnt, n_valid=n_valid, slot_cid=slot_cid,
+                            sorted_pid=order.astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------

@@ -143,22 +143,40 @@ def contact_force(scene, dt, kr: float, kf: float, fric_coeff: float,
 
     Returns (force increments fx,fy,fz [N]) and the new slot state.
     """
-    spacing0 = scene.meta.spacing0
+    return contact_force_core(
+        scene.u, scene.v, scene.w, scene.m, scene.body_id, scene.eta,
+        scene.meta.nb, scene.meta.spacing0, dt, kr, kf, fric_coeff,
+        cfn_x, cfn_y, cfn_z, dist_info,
+        delta_lt_x, delta_lt_y, delta_lt_z,
+        fn_x_prev, fn_y_prev, fn_z_prev)
+
+
+def contact_force_core(u, v, w, m, body_id, eta_body, nb: int,
+                       spacing0: float, dt, kr: float, kf: float,
+                       fric_coeff: float,
+                       cfn_x, cfn_y, cfn_z, dist_info,
+                       delta_lt_x, delta_lt_y, delta_lt_z,
+                       fn_x_prev, fn_y_prev, fn_z_prev):
+    """Eq. 24 on explicit per-destination arrays ([L] vectors + [L, S]
+    slot maps) — shared bit-for-bit by the full [N]-wide path and the
+    compacted interesting-lane path (``models.rigid_body.
+    rigid_contact_force_eval_compact``), which calls it with L =
+    NI_max*M lanes instead of all N particles."""
     dist = dist_info["contact_force_dist"]
     overlap = spacing0 - dist
     engaged = (overlap > 0.0) & (dist != 0.0)  # `overlap != spacing0` guard
 
     # relative velocity vs the closest source particle
-    vij_x = scene.u[:, None] - dist_info["vx_source"]
-    vij_y = scene.v[:, None] - dist_info["vy_source"]
-    vij_z = scene.w[:, None] - dist_info["vz_source"]
+    vij_x = u[:, None] - dist_info["vx_source"]
+    vij_y = v[:, None] - dist_info["vy_source"]
+    vij_z = w[:, None] - dist_info["vz_source"]
     vij_dot_n = vij_x * cfn_x + vij_y * cfn_y + vij_z * cfn_z
 
     # damping: eta[body_id(i), slot] * sqrt(m_i/2 * kr)   (:920-933)
     from .rigid import gather_body_rows
-    bid = jnp.clip(scene.body_id, 0, scene.meta.nb - 1)
-    eta = (gather_body_rows(scene.eta, bid, scene.meta.nb)
-           * jnp.sqrt(scene.m[:, None] / 2.0 * kr))
+    bid = jnp.clip(body_id, 0, nb - 1)
+    eta = (gather_body_rows(eta_body, bid, nb)
+           * jnp.sqrt(m[:, None] / 2.0 * kr))
 
     tmp = kr * overlap
     fn_nx = (tmp - eta * vij_dot_n) * cfn_x

@@ -340,7 +340,7 @@ def _pair_body(S, M, cutoff, init_dist, kernel: Kernel, qT, sL,
 def contact_sums_pallas(src_l, n_occ, nbr_slots, cfg: CellGridConfig,
                         kernel: Kernel, S: int, init_dist: float = 0.0,
                         interpret: bool = False, sent_slot=None,
-                        q_rows=None):
+                        q_rows=None, missing: int | None = None):
     """Finalized per-slot contact fields for every cell: [NC, M, Wp] f32
     — (cfn_x, cfn_y, cfn_z, wij-sum, contact dist, closest dist, 6 source
     picks), each an [NC, M, S] block along the last axis; Wp is 12S
@@ -353,8 +353,13 @@ def contact_sums_pallas(src_l, n_occ, nbr_slots, cfg: CellGridConfig,
     the dfT row holding an all-sentinel block, used for missing-neighbor
     entries: NC for the XLA-packed layout (sentinel row appended last),
     ``n_occ`` for the Pallas sorted-pack layout (first unoccupied slot,
-    always written all-sentinel)."""
+    always written all-sentinel).  ``missing`` is the stencil-table value
+    meaning "no neighbor" — defaults to the table's own row count; the
+    compact pipeline passes ``cfg.NC_max`` because its tables have only
+    NI_max rows while entries still address the full dfT."""
     NC, O = nbr_slots.shape
+    if missing is None:
+        missing = NC
     M = cfg.M
     F = src_l.shape[1]
     kern = functools.partial(_kernel, S, M, O, cfg.radius,
@@ -393,7 +398,7 @@ def contact_sums_pallas(src_l, n_occ, nbr_slots, cfg: CellGridConfig,
             pltpu.SemaphoreType.DMA((2, O)),
         ],
     )
-    slots = jnp.where(nbr_slots < NC, nbr_slots,
+    slots = jnp.where(nbr_slots < missing, nbr_slots,
                       sent_slot).astype(jnp.int32)
     if NCp != NC:  # pad cell rows to the program batch
         slots = jnp.concatenate(
@@ -624,3 +629,77 @@ def contact_pipeline_sorted_pallas(scene, cfg: CellGridConfig,
     full = full.at[jnp.where(valid, islot, NC)].set(
         out_c, mode="drop")[:NC]
     return _unpack_contact_out(full, grid, cfg, scene, S) + (grid,)
+
+
+def contact_pipeline_compact_pallas(scene, cfg: CellGridConfig,
+                                    kernel: Kernel, ni_max: int,
+                                    interpret: bool = False):
+    """The COMPACT fast path: like :func:`contact_pipeline_sorted_pallas`
+    but the kernel output stays in the compacted interesting-slot layout
+    — nothing is re-expanded to [NC, M, ·] and nothing is unpacked to
+    [N, ·].  The caller (``models.rigid_body.rigid_contact_force_eval_
+    compact``) runs the whole contact-force tail on the ``[NI_max*M]``
+    compacted lanes and scatters per-particle results back, which at 1M
+    particles removes the ~14 ms [N]-row unpack gather, the ~5 ms
+    re-expand scatter, the dense_pos sort, and the [N, S] tail math —
+    non-interesting slots' outputs are KNOWN (the init row; see the
+    bit-exactness argument in :func:`_cull_interesting_slots`).
+
+    ``ni_max`` is the static interesting-slot capacity; ``overflow`` is
+    raised when the cull finds more (the Solver's overflow-rebuild path
+    then re-sizes, like every other static capacity here).
+
+    Returns ``(out_c [NI_max, M, Wp], pid [NI_max, M] int32 — original
+    particle index per compacted lane, n for empty/padding lanes,
+    (u, v, w) [NI_max, M] query velocities, grid, overflow)``.
+    """
+    from . import pallas_pack
+    from .cellpairs import build_cell_grid_packed
+
+    S = scene.meta.total_no_bodies
+    init_dist = 4.0 * scene.meta.spacing0
+    NC, M = cfg.NC_max, cfg.M
+    n = scene.n
+    two_d = cfg.dim == 2
+
+    payload = contact_payload(scene, two_d)
+    grid, pt = build_cell_grid_packed(scene.x, scene.y, scene.z,
+                                      scene.active, cfg, payload,
+                                      want_dense_pos=False)
+    dfT = pallas_pack.expand_dft_pallas(pt, grid.n_occupied, cfg,
+                                        sent_fields(two_d),
+                                        interpret=interpret)
+    sent_slot = jnp.minimum(grid.n_occupied, NC)
+
+    interesting, islot = _cull_interesting_slots(dfT, pt.slot_cid, cfg)
+    n_int = jnp.sum(interesting.astype(jnp.int32))
+    cull_ovf = n_int > ni_max
+    isl = islot[:ni_max]                       # interesting-first, sorted
+    valid = isl < NC
+    isl_c = jnp.clip(isl, 0, NC - 1)
+    qsel = jnp.where(valid, isl, sent_slot)
+    qI = dfT.at[qsel].get(mode="clip")                 # [NI, F, 128]
+    nbrI = jnp.where(valid[:, None],
+                     grid.nbr_slots.at[isl_c].get(mode="clip"), NC)
+    out_c = contact_sums_pallas(dfT, jnp.minimum(n_int, ni_max), nbrI,
+                                cfg, kernel, S, init_dist,
+                                interpret=interpret, sent_slot=sent_slot,
+                                q_rows=qI, missing=NC)  # [NI, M, Wp]
+
+    # original particle id per compacted lane (slot s covers sorted rows
+    # [base[s], base[s]+cnt[s]); empty lanes -> n)
+    base_c = jnp.where(valid, pt.base.at[isl_c].get(mode="clip"), n)
+    cnt_c = jnp.where(valid, pt.cnt.at[isl_c].get(mode="clip"), 0)
+    lane = jnp.arange(M, dtype=jnp.int32)[None, :]
+    sidx = jnp.clip(base_c[:, None] + lane, 0, max(n - 1, 0))
+    pid = jnp.where(lane < cnt_c[:, None],
+                    pt.sorted_pid.at[sidx].get(mode="clip"), n)
+
+    # query velocities from the packed rows (bit-identical to scene.u/v/w
+    # — the pack is a plain f32 copy)
+    if two_d:
+        u_c, v_c = qI[:, 2, :M], qI[:, 3, :M]
+        w_c = jnp.zeros_like(u_c)
+    else:
+        u_c, v_c, w_c = qI[:, 3, :M], qI[:, 4, :M], qI[:, 5, :M]
+    return out_c, pid, (u_c, v_c, w_c), grid, cull_ovf

@@ -289,5 +289,6 @@ def build_row_window_grid(x, y, z, active, cfg: RowWinConfig, payload):
                       overflow=dom_overflow | run_ovf)
     pt = PackTables(sorted_fields=sorted_fields, base=wbase, cnt=wcnt,
                     n_valid=n_valid,
-                    slot_cid=jnp.where(wvalid, wcid_f, G))
+                    slot_cid=jnp.where(wvalid, wcid_f, G),
+                    sorted_pid=order.astype(jnp.int32))
     return grid, pt

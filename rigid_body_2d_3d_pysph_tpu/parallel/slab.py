@@ -133,6 +133,13 @@ def slab_decompose(scene: Scene, cfg: SlabConfig) -> Scene:
     """Host-side: order particles by owning slab, pad every slab to
     ``n_cap`` with inactive sentinels -> one [n_dev * n_cap] scene ready
     to shard on axis 0."""
+    if "cl_pid" in scene:
+        # the slab exchange carries the full [N, S] slot schema (its
+        # field lists address them by name); materialize + strip the
+        # compact store before decomposing
+        from ..models.rigid_body import (expand_slot_scene,
+                                         strip_compact_fields)
+        scene = strip_compact_fields(expand_slot_scene(scene))
     slab = _slab_of(scene.x, cfg)
     n = scene.n
     perm_parts, pad_rows = [], []
@@ -193,15 +200,17 @@ def redistribute(scene: Scene, cfg: SlabConfig) -> Scene:
 # the sharded step
 # ---------------------------------------------------------------------------
 
-def _compact_rows(mask, fields, cap):
+def _compact_rows(mask, fields, cap, flag_at=None):
     """First ``cap`` rows matching ``mask`` (stable order), as a
-    [cap, F+1] buffer whose last column is the validity flag."""
+    [cap, F+1] buffer with a validity-flag column (inserted at
+    ``flag_at``; appended last by default)."""
     n = mask.shape[0]
     order = jnp.argsort(jnp.where(mask, 0, 1), stable=True)
     take = order[:cap]
     valid = mask[take]
     cols = [jnp.where(valid, f[take], 0.0) for f in fields]
-    cols.append(valid.astype(fields[0].dtype))
+    cols.insert(len(cols) if flag_at is None else flag_at,
+                valid.astype(fields[0].dtype))
     overflow = jnp.sum(mask) > cap
     return jnp.stack(cols, axis=1), overflow
 
@@ -254,17 +263,15 @@ def make_slab_step(scheme, scene: Scene, mesh: Mesh, cfg: SlabConfig):
 
         # ---- halo exchange ------------------------------------------------
         act = scene_l.active
-        gf = [scene_l[k] for k in GHOST_FIELDS]
-        right_buf, ovr = _compact_rows(act & (scene_l.x >= hi - w), gf, H)
-        left_buf, ovl = _compact_rows(act & (scene_l.x < lo + w), gf, H)
-        dem_r, _ = _compact_rows(act & (scene_l.x >= hi - w),
-                                 [scene_l.dem_id.astype(fdt),
-                                  scene_l.is_fluid.astype(fdt)], H)
-        dem_l, _ = _compact_rows(act & (scene_l.x < lo + w),
-                                 [scene_l.dem_id.astype(fdt),
-                                  scene_l.is_fluid.astype(fdt)], H)
-        right_buf = jnp.concatenate([right_buf, dem_r[:, :2]], axis=1)
-        left_buf = jnp.concatenate([left_buf, dem_l[:, :2]], axis=1)
+        # one compaction sort per face (dem/fluid ride the same buffer;
+        # the valid flag stays at column len(GHOST_FIELDS))
+        gf = ([scene_l[k] for k in GHOST_FIELDS]
+              + [scene_l.dem_id.astype(fdt),
+                 scene_l.is_fluid.astype(fdt)])
+        right_buf, ovr = _compact_rows(act & (scene_l.x >= hi - w), gf, H,
+                                       flag_at=len(GHOST_FIELDS))
+        left_buf, ovl = _compact_rows(act & (scene_l.x < lo + w), gf, H,
+                                      flag_at=len(GHOST_FIELDS))
 
         # ring sends (non-periodic: edge devices receive zeros -> valid=0)
         from_left = jax.lax.ppermute(
@@ -303,11 +310,20 @@ def make_slab_step(scheme, scene: Scene, mesh: Mesh, cfg: SlabConfig):
         scene_e = Scene(ext, scene_l.meta)
 
         # ---- local grid + fused contact pipeline --------------------------
-        grid = cellmod.build_cell_grid(scene_e.x, scene_e.y, scene_e.z,
-                                       scene_e.active, local_cfg)
-        scene_e = rb.rigid_contact_force_eval_cell(
-            scene_e, grid, local_cfg, kernel, params, dt,
-            pipeline=pipeline)
+        # sorted-pack fast path when the Pallas pipeline is active: the
+        # pack rides the local grid build's cell sort (one sort, no
+        # [NC*M]-row gather) — the same engine the plain step runs
+        if rb._is_pallas_pipeline(pipeline) and local_cfg.spill:
+            scene_e, govf = rb.rigid_contact_force_eval_sorted(
+                scene_e, local_cfg, kernel, params, dt)
+        else:
+            grid = cellmod.build_cell_grid(scene_e.x, scene_e.y,
+                                           scene_e.z, scene_e.active,
+                                           local_cfg)
+            scene_e = rb.rigid_contact_force_eval_cell(
+                scene_e, grid, local_cfg, kernel, params, dt,
+                pipeline=pipeline)
+            govf = grid.overflow
 
         # psum the per-body reduction (ghosts contributed nothing)
         force = jax.lax.psum(scene_e.force, "p")
@@ -320,8 +336,7 @@ def make_slab_step(scheme, scene: Scene, mesh: Mesh, cfg: SlabConfig):
         scene_l = Scene(upd, scene_l.meta)
         scene_l = scene_l.replace(
             force=force, torque=torque,
-            nbr_overflow=(scene_l.nbr_overflow | grid.overflow
-                          | ovr | ovl))
+            nbr_overflow=(scene_l.nbr_overflow | govf | ovr | ovl))
 
         scene_l = rb._body_drift(scene_l, dt, two_d)
         scene_l = rb._particles_from_body_position(scene_l)
