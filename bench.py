@@ -262,7 +262,7 @@ def measure_slab(n_steps: int) -> dict:
     base = scheme.cell_config(scene, kernel)
     dt = jnp.asarray(1e-4)
 
-    def time_chain(stepfn, state, leaf):
+    def time_chain(stepfn, state, leaf, per_call=1):
         out = stepfn(state, dt)
         jax.block_until_ready(out.fields[leaf])
         t0 = _t.perf_counter()
@@ -271,17 +271,23 @@ def measure_slab(n_steps: int) -> dict:
             s = stepfn(s, dt)
         jax.block_until_ready(s.fields[leaf])
         assert not bool(np.asarray(s.nbr_overflow).any())
-        return n_steps / (_t.perf_counter() - t0)
+        return n_steps * per_call / (_t.perf_counter() - t0)
 
     plain = scheme.make_step(scene)
     plain_sps = time_chain(plain, scene, "x")
 
     mesh = make_mesh(1)
     cfg = slabmod.make_slab_config(scene, base, 1)
-    dec = slabmod.shard_slab_scene(slabmod.slab_decompose(scene, cfg),
-                                   mesh)
-    slab_step = slabmod.make_slab_step(scheme, dec, mesh, cfg)
-    slab_sps = time_chain(slab_step, dec, "x")
+    dec = slabmod.shard_slab_scene(
+        slabmod.slab_decompose(scene, cfg,
+                               use_blob=scheme._compact_enabled()), mesh)
+    # chain steps inside the shard_map: one dispatch per 10 steps, like
+    # the plain path's scan chunks (a per-step shard_map dispatch costs
+    # ~4 ms over this host's tunnel — half the slab step itself)
+    chain = 10
+    slab_step = slabmod.make_slab_step(scheme, dec, mesh, cfg,
+                                       chain=chain)
+    slab_sps = time_chain(slab_step, dec, "x", per_call=chain)
     return dict(steps_per_sec=slab_sps, plain_steps_per_sec=plain_sps,
                 n=scene.n, platform=jax.devices()[0].platform)
 

@@ -608,6 +608,112 @@ def strip_compact_fields(scene: Scene) -> Scene:
     return type(scene)(fields, scene.meta)
 
 
+def blobify_slot_scene(scene: Scene) -> Scene:
+    """Replace the 25 [N, S] slot fields with ONE row-aligned
+    ``slot_blob [N, 25S]`` (CL_FIELDS block order) — the slab path's
+    slot-state layout: it rides the halo/redistribute exchanges like
+    any per-particle field, and the compact eval reads springs by a
+    plain row gather (the blob row IS the particle's row).
+
+    Convention: a row with no contact work is all-zero (including the
+    ``closest_point_dist_to_source`` block, which the full schema keeps
+    at init_dist — that value is write-only, never an input)."""
+    S = scene.meta.total_no_bodies
+    fdt = scene.x.dtype
+    cols = [jnp.asarray(scene[name], fdt) for name in CL_FIELDS]
+    blob = jnp.concatenate(cols, axis=1)
+    fields = {k: v for k, v in scene.fields.items() if k not in CL_FIELDS}
+    fields["slot_blob"] = blob
+    return type(scene)(fields, scene.meta)
+
+
+def deblobify_slot_scene(scene: Scene) -> Scene:
+    """Inverse of :func:`blobify_slot_scene` (tests / IO)."""
+    if "slot_blob" not in scene:
+        return scene
+    S = scene.meta.total_no_bodies
+    blob = scene.slot_blob
+    fields = {k: v for k, v in scene.fields.items() if k != "slot_blob"}
+    for i, name in enumerate(CL_FIELDS):
+        fields[name] = blob[:, i * S:(i + 1) * S]
+    return type(scene)(fields, scene.meta)
+
+
+def rigid_contact_force_eval_compact_blob(scene, cell_cfg, kernel, params,
+                                          dt, ni_max: int, extra_fx=None,
+                                          interpret: bool = False):
+    """Compact stage-2 eval for BLOB scenes (the slab local step): like
+    :func:`rigid_contact_force_eval_compact` but slot state lives in the
+    row-aligned ``slot_blob`` — springs come from a row gather at the
+    compacted pids (no inverse table), and the new blob is a full
+    rewrite (zeros + one row scatter), so ghost/stale rows need no
+    reset bookkeeping.  Returns ``(scene, overflow)``; force/torque are
+    LOCAL sums (the slab step psums them)."""
+    from ..ops import pallas_contact as pcops
+
+    out_c, pid, (u_c, v_c, w_c), grid, cull_ovf = \
+        pcops.contact_pipeline_compact_pallas(scene, cell_cfg, kernel,
+                                              ni_max, interpret=interpret)
+    n, S = scene.n, scene.meta.total_no_bodies
+    NI, M = pid.shape
+    L = NI * M
+    fdt = scene.x.dtype
+
+    flat = out_c.reshape(L, out_c.shape[-1]).astype(fdt)  # [L, Wp], free
+    blk = lambda i: flat[:, i * S:(i + 1) * S]
+    dinfo = dict(
+        contact_force_dist=blk(4),
+        closest_point_dist_to_source=blk(5),
+        x_source=blk(6), y_source=blk(7), z_source=blk(8),
+        vx_source=blk(9), vy_source=blk(10), vz_source=blk(11),
+    )
+
+    pidf = pid.reshape(L)
+    valid_lane = pidf < n
+    pclip = jnp.minimum(pidf, n - 1)
+    m_c = jnp.where(valid_lane, scene.m.at[pclip].get(mode="clip"), 0.0)
+    bid_c = jnp.where(valid_lane,
+                      scene.body_id.at[pclip].get(mode="clip"), 0)
+    spr_c = jnp.where(
+        valid_lane[:, None],
+        scene.slot_blob.at[pclip].get(
+            mode="clip")[:, _CL_SPRING0 * S:(_CL_SPRING0 + 6) * S],
+        0.0).astype(fdt)                                   # [L, 6S]
+
+    dfx, dfy, dfz, slots = cops.contact_force_core(
+        u_c.reshape(L).astype(fdt), v_c.reshape(L).astype(fdt),
+        w_c.reshape(L).astype(fdt), m_c, bid_c, scene.eta,
+        scene.meta.nb, scene.meta.spacing0, dt,
+        params["kr"], params["kf"], params["fric_coeff"],
+        blk(0), blk(1), blk(2), dinfo,
+        spr_c[:, 0:S], spr_c[:, S:2 * S], spr_c[:, 2 * S:3 * S],
+        spr_c[:, 3 * S:4 * S], spr_c[:, 4 * S:5 * S],
+        spr_c[:, 5 * S:6 * S])
+
+    tgt = jnp.where(valid_lane, pidf, n)
+    fxg, fyg, fzg = rops.body_force(scene, params["gx"], params["gy"],
+                                    params["gz"], scene.is_rigid)
+    dvec = jnp.stack([dfx, dfy, dfz], axis=1)
+    dxyz = jnp.zeros((n + 1, 3), fdt).at[tgt].set(
+        dvec, mode="drop", unique_indices=True)[:n]
+    fx = fxg + dxyz[:, 0]
+    fy = fyg + dxyz[:, 1]
+    fz = fzg + dxyz[:, 2]
+    if extra_fx is not None:
+        efx, efy, efz = extra_fx
+        fx, fy, fz = fx + efx, fy + efy, fz + efz
+    force, torque = rops.sum_up_external_forces(scene, fx, fy, fz)
+
+    new_rows = jnp.concatenate(
+        [flat[:, :12 * S]] + [slots[k] for k in CL_FIELDS[12:]],
+        axis=1).astype(fdt)                                # [L, 25S]
+    blob = jnp.zeros((n + 1, 25 * S), fdt).at[tgt].set(
+        new_rows, mode="drop", unique_indices=True)[:n]
+    scene = scene.replace(fx=fx, fy=fy, fz=fz, force=force, torque=torque,
+                          slot_blob=blob)
+    return scene, grid.overflow | cull_ovf
+
+
 def rigid_contact_force_eval_compact(scene, cell_cfg, kernel, params, dt,
                                      ni_max: int, extra_fx=None,
                                      interpret: bool = False):

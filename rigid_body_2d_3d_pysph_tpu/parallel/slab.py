@@ -129,17 +129,28 @@ def make_slab_config(scene: Scene, base: cellmod.CellGridConfig,
                       nc_max_local=nc_max_local)
 
 
-def slab_decompose(scene: Scene, cfg: SlabConfig) -> Scene:
+def slab_decompose(scene: Scene, cfg: SlabConfig,
+                   use_blob: bool = False) -> Scene:
     """Host-side: order particles by owning slab, pad every slab to
     ``n_cap`` with inactive sentinels -> one [n_dev * n_cap] scene ready
-    to shard on axis 0."""
+    to shard on axis 0.
+
+    ``use_blob``: store the 25 [N, S] contact-slot fields as ONE
+    row-aligned ``slot_blob [N, 25S]`` — the layout the Pallas compact
+    slab step consumes (S=9-minor arrays run far off bandwidth on TPU;
+    the blob rides every exchange as a single well-shaped field)."""
     if "cl_pid" in scene:
-        # the slab exchange carries the full [N, S] slot schema (its
-        # field lists address them by name); materialize + strip the
-        # compact store before decomposing
+        # materialize + strip the single-chip compact store first
         from ..models.rigid_body import (expand_slot_scene,
                                          strip_compact_fields)
         scene = strip_compact_fields(expand_slot_scene(scene))
+    if use_blob:
+        from ..models.rigid_body import blobify_slot_scene
+        if "slot_blob" not in scene:
+            scene = blobify_slot_scene(scene)
+    elif "slot_blob" in scene:
+        from ..models.rigid_body import deblobify_slot_scene
+        scene = deblobify_slot_scene(scene)
     slab = _slab_of(scene.x, cfg)
     n = scene.n
     perm_parts, pad_rows = [], []
@@ -215,12 +226,17 @@ def _compact_rows(mask, fields, cap, flag_at=None):
     return jnp.stack(cols, axis=1), overflow
 
 
-def make_slab_step(scheme, scene: Scene, mesh: Mesh, cfg: SlabConfig):
+def make_slab_step(scheme, scene: Scene, mesh: Mesh, cfg: SlabConfig,
+                   chain: int = 1):
     """Build the sharded fused step: per-device halo exchange + local
     cell-engine contact evaluation + psum body reduction.
 
     ``scene`` must already be slab-decomposed (:func:`slab_decompose`)
-    and sharded (:func:`shard_slab_scene`).
+    and sharded (:func:`shard_slab_scene`).  ``chain`` > 1 runs that
+    many steps per call via ``lax.scan`` INSIDE the shard_map — one
+    dispatch per chain instead of per step (the per-call shard_map
+    dispatch costs ~4 ms on this host's tunneled device, half the
+    single-step slab wall time at 100k particles).
     """
     from ..models import rigid_body as rb
     from ..ops.kernels import get_kernel
@@ -310,10 +326,17 @@ def make_slab_step(scheme, scene: Scene, mesh: Mesh, cfg: SlabConfig):
         scene_e = Scene(ext, scene_l.meta)
 
         # ---- local grid + fused contact pipeline --------------------------
+        # compact fast path for blob scenes (the TPU production slab
+        # layout): culled kernel + compacted tail + one slot_blob row
+        # scatter — the same engine class the plain compact step runs
+        if "slot_blob" in scene_e:
+            scene_e, govf = rb.rigid_contact_force_eval_compact_blob(
+                scene_e, local_cfg, kernel, params, dt,
+                scheme.ni_max(local_cfg))
         # sorted-pack fast path when the Pallas pipeline is active: the
         # pack rides the local grid build's cell sort (one sort, no
         # [NC*M]-row gather) — the same engine the plain step runs
-        if rb._is_pallas_pipeline(pipeline) and local_cfg.spill:
+        elif rb._is_pallas_pipeline(pipeline) and local_cfg.spill:
             scene_e, govf = rb.rigid_contact_force_eval_sorted(
                 scene_e, local_cfg, kernel, params, dt)
         else:
@@ -344,8 +367,17 @@ def make_slab_step(scheme, scene: Scene, mesh: Mesh, cfg: SlabConfig):
         scene_l = rb._particles_from_body_velocity(scene_l)
         return scene_l
 
+    if chain > 1:
+        def local_multi(scene_l: Scene, dt):
+            def body(s, _):
+                return local_step(s, dt), None
+            out, _ = jax.lax.scan(body, scene_l, None, length=chain)
+            return out
+        fn = local_multi
+    else:
+        fn = local_step
     step = jax.jit(jax.shard_map(
-        local_step, mesh=mesh, in_specs=(scene_spec, P()),
+        fn, mesh=mesh, in_specs=(scene_spec, P()),
         out_specs=scene_spec, check_vma=False))
     return step
 

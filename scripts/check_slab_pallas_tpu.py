@@ -50,3 +50,26 @@ a = np.lexsort((np.asarray(s.y)[act], np.asarray(s.x)[act]))
 b = np.lexsort((np.asarray(p.y), np.asarray(p.x)))
 np.testing.assert_allclose(np.asarray(s.x)[act][a], np.asarray(p.x)[b], atol=1e-6)
 print("slab+pallas 1-device: ok, matches plain step", flush=True)
+
+# ---- blob layout (the production slab path: compact eval + slot_blob) ----
+decb = slabmod.shard_slab_scene(
+    slabmod.slab_decompose(scene, cfg, use_blob=True), mesh)
+stepb = slabmod.make_slab_step(scheme, decb, mesh, cfg)
+sb = stepb(decb, jnp.asarray(1e-4))
+jax.block_until_ready(sb.fields['x'])
+assert not bool(np.asarray(sb.nbr_overflow))
+actb = np.asarray(sb.active)
+ab = np.lexsort((np.asarray(sb.y)[actb], np.asarray(sb.x)[actb]))
+np.testing.assert_allclose(np.asarray(sb.x)[actb][ab], np.asarray(p.x)[b],
+                           atol=1e-6)
+# spring state must match the plain compact path's expansion
+from rigid_body_2d_3d_pysph_tpu.models.rigid_body import (
+    deblobify_slot_scene, expand_slot_scene)
+sb_full = deblobify_slot_scene(sb)
+p_full = expand_slot_scene(p)
+for k in ("delta_lt_x", "fn_y", "overlap"):
+    va = np.asarray(sb_full[k])[actb][ab]
+    vb = np.asarray(p_full[k])[b]
+    np.testing.assert_allclose(va, vb, atol=1e-6, err_msg=k)
+print("slab+pallas 1-device (blob/compact): ok, matches plain step",
+      flush=True)

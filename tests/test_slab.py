@@ -3,6 +3,8 @@ single-device cell engine: identical trajectories, and the compiled HLO
 must contain ring collective-permutes but NO all-gather (the point of
 the slab path over GSPMD row sharding)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -150,19 +152,36 @@ def test_jitted_redistribute_matches_host(slab_setup):
     assert not bool(np.asarray(s2.nbr_overflow))
 
 
+def test_redistribute_long_run_isolated():
+    """PROCESS-ISOLATED runner for the long-run redistribution check
+    below, so the default suite exercises it again: when the long-run
+    test executes after this file's other 8-vdevice tests in ONE
+    process, XLA:CPU's virtual-device runtime SIGABRTs mid-execution
+    with no diagnostic on this 1-core host (reproducible late round 4;
+    jax.clear_caches() does not help) — an upstream runtime flake, not
+    a physics failure.  A fresh interpreter avoids it deterministically,
+    so this wrapper runs the real test in a subprocess (sharing the
+    compile cache, so the inner run is ~2 min warm)."""
+    import subprocess
+    import sys as _sys
+    out = subprocess.run(
+        [_sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+         __file__ + "::test_jitted_redistribute_long_run_matches_single_device"],
+        capture_output=True, text=True, timeout=2400,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, (
+        f"isolated long-run redistribute test failed:\n"
+        f"{out.stdout[-3000:]}\n{out.stderr[-2000:]}")
+
+
 @pytest.mark.slow
 def test_jitted_redistribute_long_run_matches_single_device(slab_setup):
     """60 steps with on-device redistribution every 10 (bodies fall and
     slide; rows migrate across slab boundaries) vs the single-device
     trajectory.
 
-    slow-marked: PASSES in isolation (and matched through round 3's
-    suites), but when run after this file's other four tests in one
-    process, XLA:CPU's 8-virtual-device runtime SIGABRTs mid-execution
-    with no diagnostic on this 1-core host (reproducible late round 4;
-    jax.clear_caches() does not help) — an upstream runtime flake, not
-    a physics failure.  Run it alone:
-    pytest tests/test_slab.py::test_jitted_redistribute_long_run_matches_single_device
+    slow-marked so only the process-isolated wrapper above runs it in
+    the default suite (see its docstring for the one-process flake).
     """
     scheme, scene, mesh, cfg, dec, step = slab_setup
     ref_step = scheme.make_step(scene)
