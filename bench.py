@@ -340,8 +340,44 @@ def measure(n_steps: int) -> dict:
     el = time.perf_counter() - t0
     assert not bool(np.asarray(s.nbr_overflow)), "neighbor overflow"
     assert np.isfinite(np.asarray(s.fields["x"])).all()
+    util = None
+    if workload == "rigid" and getattr(scheme, "_compact_enabled",
+                                       lambda: False)():
+        # utilization telemetry (VERDICT r4 item 9): how many kernel
+        # candidate lanes the interest cull leaves vs the analytic true
+        # pair count — tracks whether the overcount is shrinking
+        try:
+            from rigid_body_2d_3d_pysph_tpu.ops import (
+                cellpairs as _cm, pallas_contact as _pc,
+                pallas_pack as _pk)
+            from rigid_body_2d_3d_pysph_tpu.ops.kernels import get_kernel
+            kernel = get_kernel(scheme.kernel_name, scheme.dim)
+            cfg = scheme.cell_config(s, kernel)
+
+            @jax.jit
+            def _probe(s):
+                payload = _pc.contact_payload(s, cfg.dim == 2)
+                grid, pt = _cm.build_cell_grid_packed(
+                    s.x, s.y, s.z, s.active, cfg, payload,
+                    want_dense_pos=False)
+                dfT = _pk.expand_dft_pallas(pt, grid.n_occupied, cfg,
+                                            _pc.sent_fields(cfg.dim == 2))
+                interesting, _ = _pc._cull_interesting_slots(
+                    dfT, pt.slot_cid, cfg)
+                return (grid.n_occupied,
+                        jnp.sum(interesting.astype(jnp.int32)))
+            n_occ, n_int = jax.device_get(_probe(s))
+            lanes = int(n_int) * cfg.M * cfg.O * cfg.M
+            true_pairs = scene.n * 48  # ~48 quintic neighbors in 2D
+            eff = true_pairs / lanes if lanes else float("inf")
+            util = (f"cull {int(n_occ)}->{int(n_int)} slots, "
+                    f"{lanes:.3g} candidate lanes/step vs ~{true_pairs:.3g} "
+                    f"true pairs (lane efficiency "
+                    f"{'inf' if lanes == 0 else f'{eff:.2f}'})")
+        except Exception:
+            util = None
     return dict(steps_per_sec=done / el, n=scene.n,
-                platform=jax.devices()[0].platform)
+                platform=jax.devices()[0].platform, util=util)
 
 
 if __name__ == "__main__":
@@ -400,10 +436,11 @@ if __name__ == "__main__":
     # ~48 2D / ~250 3D candidate lanes per query (same ratio for DEM)
     nbrs = 250 if workload in ("rigid3d", "dem3d") else 48
     pair_evals = r["steps_per_sec"] * r["n"] * nbrs * 2  # 2 pair passes
+    util = f"; {r['util']}" if r.get("util") else ""
     print(json.dumps({
         "metric": f"{name} steps/sec @ {r['n']} particles "
                   f"({r['platform']}; ~{pair_evals:.3g} contact-pair "
-                  f"evals/sec)",
+                  f"evals/sec{util})",
         "value": round(r["steps_per_sec"], 3),
         "unit": "steps/sec",
         "vs_baseline": round(vs, 2) if vs else None,

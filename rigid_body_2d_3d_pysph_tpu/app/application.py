@@ -54,6 +54,7 @@ class Solver:
         self.output_files: List[str] = []
         self.callbacks_post_chunk: List[Callable] = []
         self._steps_per_sec = 0.0
+        self._writer = None  # lazy AsyncSnapshotWriter
         # resume granularity: a checkpoint costs a full-state host
         # transfer + npz write, so take one every N output chunks (the
         # final chunk always checkpoints)
@@ -65,10 +66,23 @@ class Solver:
         path = os.path.join(self.output_dir,
                             f"snapshot_{self.count:06d}.npz")
         # IO view: schemes with compact slot storage materialize their
-        # [N, S] fields here (identity otherwise)
-        out_mod.write_snapshot(path, self.scheme.export_scene(self.scene),
-                               self.t, self.dt, self.count,
-                               self.output_fields)
+        # [N, S] fields here (identity otherwise).  The device->host
+        # transfer + npz write run on a background thread (JAX arrays
+        # are immutable, so the step loop keeps going while the worker
+        # fetches) — snapshot IO was ~35% of the flagship sinking-box
+        # wall time when serial.
+        if os.environ.get("RB_SYNC_SNAPSHOTS"):
+            out_mod.write_snapshot(path,
+                                   self.scheme.export_scene(self.scene),
+                                   self.t, self.dt, self.count,
+                                   self.output_fields)
+        else:
+            if self._writer is None:
+                self._writer = out_mod.AsyncSnapshotWriter()
+            self._writer.submit(path,
+                                self.scheme.export_scene(self.scene),
+                                self.t, self.dt, self.count,
+                                self.output_fields)
         self.output_files.append(path)
 
     def _overflowed(self) -> bool:
@@ -159,6 +173,10 @@ class Solver:
                 if not quiet:
                     print(f"step {done}/{n_steps}  t={self.t:.6g}  "
                           f"{self._steps_per_sec:.1f} steps/s", flush=True)
+        # drain pending snapshot writes (durability: every file in
+        # output_files exists once solve() returns)
+        if self._writer is not None:
+            self._writer.flush()
         # ensure final state materialized
         import jax
         jax.block_until_ready(self.scene.fields["x"])

@@ -69,6 +69,63 @@ def write_snapshot(path: str, scene, t: float, dt: float, count: int,
     np.savez(path, **data)
 
 
+class AsyncSnapshotWriter:
+    """Double-buffered background snapshot writer.
+
+    ``write_snapshot`` costs one device->host transfer (tens of ms over
+    this host's tunneled device) plus an npz write — serial with the
+    step loop it was ~35% of the flagship sinking-box wall time.  JAX
+    arrays are immutable, so the Solver can hand the scene reference to
+    a worker thread and keep stepping while the worker does the
+    device_get + npz in the background (the transfer overlaps device
+    compute).  ``max_pending`` bounds queued snapshots (backpressure —
+    each holds a scene's device buffers alive).
+
+    Exceptions raised by the worker re-raise on the next submit/flush.
+    """
+
+    def __init__(self, max_pending: int = 2):
+        import queue
+        import threading
+        self._q = queue.Queue(maxsize=max_pending)
+        self._err = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q.task_done()
+                return
+            try:
+                write_snapshot(*item)
+            except BaseException as e:  # surfaced on submit/flush
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("async snapshot write failed") from err
+
+    def submit(self, path, scene, t, dt, count, output_fields=None):
+        self._check()
+        self._q.put((path, scene, t, dt, count, output_fields))
+
+    def flush(self):
+        self._q.join()
+        self._check()
+
+    def close(self):
+        if self._thread.is_alive():
+            self._q.join()
+            self._q.put(None)
+            self._thread.join()
+        self._check()
+
+
 class GroupSnapshot(SimpleNamespace):
     """Attribute view of one group in one snapshot; body-state arrays are
     exposed both shaped ([B,3]/[B,3,3]) and reference-flat (xcm as [3B],

@@ -205,12 +205,20 @@ class DEMScheme(Scheme):
         use_pallas = self._use_pallas()
         use_cell = (not use_pallas and self.engine in ("cell", "pallas")
                     and self.contact_model == "LVCDisplacement")
+        # LVCForce rides the dense XLA cell engine when a cell/pallas
+        # engine is requested (it shares lvc_force_core with the [N,K]
+        # list path; the Pallas kernel tier covers the production
+        # default LVCDisplacement only — LVCForce is dormant in the
+        # reference, code/dem.py:684-687 selects it but no case uses it)
+        use_cell_force = (self.engine in ("cell", "pallas")
+                          and self.contact_model == "LVCForce")
         rowwin_cfg = (self.rowwin_config(scene)
                       if use_pallas and self.dem_grid == "rowwin"
                       else None)
         cell_cfg = (None if rowwin_cfg is not None
                     else self.pallas_cell_config(scene) if use_pallas
-                    else self.cell_config(scene) if use_cell else None)
+                    else self.cell_config(scene)
+                    if (use_cell or use_cell_force) else None)
         gx, gy, gz = self.gx, self.gy, self.gz
         displacement = self.contact_model == "LVCDisplacement"
         kn, mu, en = self.kn, self.mu, self.en
@@ -281,6 +289,23 @@ class DEMScheme(Scheme):
                      scene, grid, cell_cfg, dt, ti, td, ta, tb, tc)
                 scene = scene.replace(tng_idx=ti, tng_idx_dem_id=td,
                                       tng_x=ta, tng_y=tb, tng_z=tc,
+                                      total_tng_contacts=cnt,
+                                      nbr_overflow=(scene.nbr_overflow
+                                                    | grid.overflow))
+            elif use_cell_force:
+                from ..ops import cellpairs as cellmod
+                from ..ops import dem_cell as dcops
+                ti, td, ta, tb, tc, _ = dops.prune_contact_table(
+                    scene, scene.tng_idx, scene.tng_idx_dem_id,
+                    scene.tng_fx, scene.tng_fy, scene.tng_fz)
+                grid = cellmod.build_cell_grid(scene.x, scene.y, scene.z,
+                                               scene.active, cell_cfg)
+                (cfx, cfy, cfz, tx_, ty_, tz_, ti, td, ta, tb, tc,
+                 cnt) = dcops.lvc_force_cell(
+                     scene, grid, cell_cfg, dt, kn, mu, en,
+                     ti, td, ta, tb, tc)
+                scene = scene.replace(tng_idx=ti, tng_idx_dem_id=td,
+                                      tng_fx=ta, tng_fy=tb, tng_fz=tc,
                                       total_tng_contacts=cnt,
                                       nbr_overflow=(scene.nbr_overflow
                                                     | grid.overflow))

@@ -737,17 +737,30 @@ def rigid_contact_force_eval_compact(scene, cell_cfg, kernel, params, dt,
     overflow-rebuild re-sizes, like every static capacity here)."""
     from ..ops import pallas_contact as pcops
 
-    out_c, pid, (u_c, v_c, w_c), grid, cull_ovf = \
+    out_c, pid, uvw, grid, cull_ovf = \
         pcops.contact_pipeline_compact_pallas(scene, cell_cfg, kernel,
                                               ni_max, interpret=interpret)
-    n, S = scene.n, scene.meta.total_no_bodies
-    NI, M = pid.shape
-    L = NI * M
-    fdt = scene.x.dtype
+    L = pid.shape[0] * pid.shape[1]
+    flat = out_c.reshape(L, out_c.shape[-1]).astype(scene.x.dtype)
+    scene = _compact_contact_tail(scene, flat, pid, *uvw,
+                                  params=params, dt=dt, extra_fx=extra_fx)
+    return scene, grid.overflow | cull_ovf
 
-    flat = out_c.reshape(L, out_c.shape[-1]).astype(fdt)  # [L, Wp], free
+
+def _compact_contact_tail(scene, flat, pid, u_c, v_c, w_c, params, dt,
+                          extra_fx=None):
+    """Eq.-24 tail + force assembly + compact slot store on compacted
+    lanes — shared by :func:`rigid_contact_force_eval_compact` and the
+    coupling scheme's fused kdkf step (whose F+C kernel computes the
+    same 12S contact blocks on the union pack).
+
+    ``flat``: [L, >=12S] f32 — the contact output blocks in
+    ``CL_FIELDS[:12]`` order; ``pid`` [NI, M] original particle ids
+    (n = empty); ``u_c/v_c/w_c`` [NI, M] query velocities."""
+    n, S = scene.n, scene.meta.total_no_bodies
+    L = flat.shape[0]
+    fdt = scene.x.dtype
     blk = lambda i: flat[:, i * S:(i + 1) * S]
-    cfn_x, cfn_y, cfn_z, cfn_w = blk(0), blk(1), blk(2), blk(3)
     dinfo = dict(
         contact_force_dist=blk(4),
         closest_point_dist_to_source=blk(5),
@@ -779,17 +792,16 @@ def rigid_contact_force_eval_compact(scene, cell_cfg, kernel, params, dt,
         has_prev[:, None],
         spr_rows.at[jnp.minimum(prev_lane, Lp - 1)].get(mode="clip"),
         0.0).astype(fdt)                                   # [L, 6S]
-    dlx, dly, dlz = (spr_c[:, 0:S], spr_c[:, S:2 * S],
-                     spr_c[:, 2 * S:3 * S])
-    fnx, fny, fnz = (spr_c[:, 3 * S:4 * S], spr_c[:, 4 * S:5 * S],
-                     spr_c[:, 5 * S:6 * S])
 
     dfx, dfy, dfz, slots = cops.contact_force_core(
         u_c.reshape(L).astype(fdt), v_c.reshape(L).astype(fdt),
         w_c.reshape(L).astype(fdt), m_c, bid_c, scene.eta,
         scene.meta.nb, scene.meta.spacing0, dt,
         params["kr"], params["kf"], params["fric_coeff"],
-        cfn_x, cfn_y, cfn_z, dinfo, dlx, dly, dlz, fnx, fny, fnz)
+        blk(0), blk(1), blk(2), dinfo,
+        spr_c[:, 0:S], spr_c[:, S:2 * S], spr_c[:, 2 * S:3 * S],
+        spr_c[:, 3 * S:4 * S], spr_c[:, 4 * S:5 * S],
+        spr_c[:, 5 * S:6 * S])
 
     # ---- per-particle force assembly --------------------------------
     tgt = jnp.where(valid_lane, pidf, n)          # row n is sliced off
@@ -810,11 +822,10 @@ def rigid_contact_force_eval_compact(scene, cell_cfg, kernel, params, dt,
     new_state = jnp.concatenate(
         [flat[:, :12 * S]] + [slots[k] for k in CL_FIELDS[12:]],
         axis=1).astype(jnp.float32)
-    scene = scene.replace(
+    return scene.replace(
         fx=fx, fy=fy, fz=fz, force=force, torque=torque,
         cl_pid=jnp.where(valid_lane, pidf, n).astype(jnp.int32),
         cl_state=new_state)
-    return scene, grid.overflow | cull_ovf
 
 
 def _contact_force_tail(scene, cfn_x, cfn_y, cfn_z, cfn_w, dinfo,

@@ -193,7 +193,51 @@ class RigidFluidCouplingScheme(Scheme):
             cfib = np.asarray(scene.is_boundary).astype(np.float64)
             scene = scene.replace(
                 contact_force_is_boundary=jnp.asarray(cfib, fdt))
+        # compact slot storage pays when the [N, S] tail is wide —
+        # measured on v5e: S=2 (sinking box) runs ~3-7% FASTER on the
+        # full schema (the cull/gather overhead exceeds the tiny [N,2]
+        # tail), while wide-S scenes (stack of cylinders: S=34) and the
+        # rigid-only scheme win big.  Gate on S.
+        if self._compact_enabled() and scene.meta.total_no_bodies >= 8:
+            from .rigid_body import compact_slot_scene
+            cfg = self.cell_config(scene, kernel)
+            scene = compact_slot_scene(scene, self.ni_max(cfg) * cfg.M)
         return scene
+
+    def _compact_enabled(self) -> bool:
+        """Compact contact-slot storage for the fused kdkf step (same
+        rationale as the rigid scheme's: [N, S] slot materialization is
+        S=9-minor-shaped — far off bandwidth on TPU — and the contact
+        work is surface-sparse)."""
+        import os
+        if os.environ.get("RB_NO_COMPACT"):
+            return False
+        if (self.engine != "pallas" or self.gtvf_ordering != "kdkf"
+                or not self.rigid_bodies):
+            return False
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            return False
+        return (on_tpu and config.float_dtype() == jnp.float32
+                and self.kernel_name == "quintic")
+
+    def ni_max(self, cfg) -> int:
+        nc = cfg.NC_max
+        ni = int(np.ceil(max(512, nc // 16) * self.capacity_boost))
+        return min(nc, ni)
+
+    def adapt_scene(self, scene: Scene) -> Scene:
+        if "cl_pid" in scene and self._compact_enabled():
+            from .rigid_body import migrate_compact_scene
+            kernel = get_kernel(self.kernel_name, self.dim)
+            cfg = self.cell_config(scene, kernel)
+            return migrate_compact_scene(scene, self.ni_max(cfg) * cfg.M)
+        return scene
+
+    def export_scene(self, scene: Scene) -> Scene:
+        from .rigid_body import expand_slot_scene
+        return expand_slot_scene(scene)
 
     def set_linear_velocity(self, scene, vel):
         return rigid_setup.set_linear_velocity(scene, vel)
@@ -430,6 +474,14 @@ class RigidFluidCouplingScheme(Scheme):
         # columns, zero-padded to a 128 multiple (pallas_fluid.
         # fluid_forces_contact_pallas)
         W12 = 12 * S
+        # compact contact tail: the F+C kernel's 12S contact columns are
+        # consumed only at culled interesting slots (union-flag cull)
+        # and the slot state stays in the cl_pid/cl_state compact store
+        # — no [N, 12S] unpack, no [N, S] tail (see rigid_body.
+        # _compact_contact_tail)
+        use_compact = (use_fluid_pallas and has_rigid
+                       and "cl_pid" in scene.fields)
+        ni = self.ni_max(ccfg) if use_compact else 0
 
         def eval_passes(scene, dt):
             """Grid build + all fluid passes on one pack with dense
@@ -443,7 +495,7 @@ class RigidFluidCouplingScheme(Scheme):
                 # sorted pack: the 14 fields ride the grid build's cell
                 # sort and a Pallas kernel expands them into dfT — no
                 # slot-major df, no [NC*M]-row pack gather
-                grid, dfT, sent = pfops.pack_fluid_sorted(
+                grid, dfT, sent, pt = pfops.pack_fluid_sorted(
                     scene, ccfg, interpret=interp)
                 M = ccfg.M
                 one = jnp.float32(1.0)
@@ -494,6 +546,38 @@ class RigidFluidCouplingScheme(Scheme):
                         scene, grid, ccfg, kernel, None, dfT,
                         fluid_alpha, c0, has_rigid, S, init_dist,
                         interpret=interp, sent_slot=sent)
+                    if use_compact:
+                        n = scene.n
+                        interesting, islot = \
+                            pcops._cull_rigid_query_slots(
+                                dfT, pt.slot_cid, ccfg, union=True)
+                        n_int = jnp.sum(interesting.astype(jnp.int32))
+                        covf = n_int > ni
+                        isl = islot[:ni]
+                        valid = isl < NC
+                        isl_c = jnp.clip(isl, 0, NC - 1)
+                        rows = fc_d.at[isl_c].get(mode="clip")
+                        flatc = rows.reshape(ni * M, fc_d.shape[-1])
+                        # per-lane pids from the sorted-pack tables
+                        base_c = jnp.where(
+                            valid, pt.base.at[isl_c].get(mode="clip"), n)
+                        cnt_c = jnp.where(
+                            valid, pt.cnt.at[isl_c].get(mode="clip"), 0)
+                        lanei = jnp.arange(M, dtype=jnp.int32)[None, :]
+                        sidx = jnp.clip(base_c[:, None] + lanei, 0,
+                                        max(n - 1, 0))
+                        pid = jnp.where(
+                            lanei < cnt_c[:, None],
+                            pt.sorted_pid.at[sidx].get(mode="clip"), n)
+                        qsel = jnp.where(valid, isl, sent)
+                        qI = dfT.at[qsel].get(mode="clip")
+                        uvw = (qI[:, 3, :M], qI[:, 4, :M], qI[:, 5, :M])
+                        big = jnp.concatenate(
+                            [rw_d, fc_d[..., W12:W12 + 6]], axis=-1)
+                        out = cellmod.unpack(grid, ccfg, big, scene.n,
+                                             0.0).astype(scene.x.dtype)
+                        return grid, out, ("compact", flatc, pid, uvw,
+                                           covf)
                     big = jnp.concatenate([rw_d, fc_d], axis=-1)
                     flat = cellmod.unpack(grid, ccfg, big, scene.n,
                                           0.0).astype(scene.x.dtype)
@@ -631,7 +715,14 @@ class RigidFluidCouplingScheme(Scheme):
                 extra = (jnp.where(rb, out[:, 10], 0.0),
                          jnp.where(rb, out[:, 11], 0.0),
                          jnp.where(rb, out[:, 12], 0.0))
-                if contact is not None:
+                if contact is not None and isinstance(contact[0], str):
+                    from .rigid_body import _compact_contact_tail
+                    _, flatc, pid, uvw, covf = contact
+                    scene = _compact_contact_tail(
+                        scene, flatc, pid, *uvw, params=params, dt=dt,
+                        extra_fx=extra)
+                    ovf = ovf | covf
+                elif contact is not None:
                     from .rigid_body import _contact_force_tail
                     scene = _contact_force_tail(
                         scene, *contact, params, dt, extra_fx=extra)

@@ -285,29 +285,49 @@ def lvc_force(scene, nbrs: NeighborList, dt, kn: float, mu: float, en: float,
     """LVC with tangential-force springs (reference :296-505).  Scalar
     material constants (kn, mu, en) as in ``LVCForce.__init__`` :300-309:
     kt = 2/7 kn, alpha = 2 sqrt(kn) |ln en| / sqrt(pi^2 + ln^2 en)."""
+    pd = pair_data(scene, nbrs)
+    j = pd.j
+    not_self = j != jnp.arange(scene.n)[:, None]
+    cand = pd.mask & not_self & (pd.rij > 0)
+    q = dict(u=scene.u[:, None], v=scene.v[:, None], w=scene.w[:, None],
+             wx=scene.wx[:, None], wy=scene.wy[:, None],
+             wz=scene.wz[:, None], rad=scene.rad_s[:, None],
+             m=scene.m[:, None])
+    s = dict(u=scene.u[j], v=scene.v[j], w=scene.w[j],
+             wx=scene.wx[j], wy=scene.wy[j], wz=scene.wz[j],
+             rad=scene.rad_s[j], m=scene.m[j])
+    return lvc_force_core(q, s, pd.xij, pd.yij, pd.zij, pd.rij, cand,
+                          j, scene.dem_id[j], dt, kn, mu, en,
+                          tng_idx, tng_dem, tng_fx, tng_fy, tng_fz)
+
+
+def lvc_force_core(q, s, xij, yij, zij, rij, cand, j, dem_j, dt,
+                   kn: float, mu: float, en: float,
+                   tng_idx, tng_dem, tng_fx, tng_fy, tng_fz):
+    """LVCForce pair physics on explicit [R, K] candidate arrays —
+    shared by the [N, K] list engine (:func:`lvc_force`) and the dense
+    cell engine (``dem_cell.lvc_force_cell``), mirroring the
+    ``lvc_displacement_core`` split."""
     kt = 2.0 / 7.0 * kn
     log_en = jnp.log(en)
     alpha = 2.0 * jnp.sqrt(kn) * jnp.abs(log_en) / jnp.sqrt(
         jnp.pi**2 + log_en**2)
 
-    pd = pair_data(scene, nbrs)
-    j = pd.j
-    not_self = j != jnp.arange(scene.n)[:, None]
-    overlap = scene.rad_s[:, None] + scene.rad_s[j] - pd.rij
-    gate = pd.mask & not_self & (pd.rij > 0) & (overlap > 0)
-    rinv = 1.0 / jnp.maximum(pd.rij, 1e-300)
-    nx, ny, nz = pd.xij * rinv, pd.yij * rinv, pd.zij * rinv
+    overlap = q["rad"] + s["rad"] - rij
+    gate = cand & (overlap > 0)
+    rinv = 1.0 / jnp.maximum(rij, 1e-300)
+    nx, ny, nz = xij * rinv, yij * rinv, zij * rinv
 
-    a_i = scene.rad_s[:, None] - overlap / 2.0
-    a_j = scene.rad_s[j] - overlap / 2.0
-    wxi, wyi, wzi = scene.wx[:, None], scene.wy[:, None], scene.wz[:, None]
-    wxj, wyj, wzj = scene.wx[j], scene.wy[j], scene.wz[j]
-    vi_x = scene.u[:, None] + (wyi * nz - wzi * ny) * a_i
-    vi_y = scene.v[:, None] + (wzi * nx - wxi * nz) * a_i
-    vi_z = scene.w[:, None] + (wxi * ny - wyi * nx) * a_i
-    vj_x = scene.u[j] + (-wyj * nz + wzj * ny) * a_j
-    vj_y = scene.v[j] + (-wzj * nx + wxj * nz) * a_j
-    vj_z = scene.w[j] + (-wxj * ny + wyj * nx) * a_j
+    a_i = q["rad"] - overlap / 2.0
+    a_j = s["rad"] - overlap / 2.0
+    wxi, wyi, wzi = q["wx"], q["wy"], q["wz"]
+    wxj, wyj, wzj = s["wx"], s["wy"], s["wz"]
+    vi_x = q["u"] + (wyi * nz - wzi * ny) * a_i
+    vi_y = q["v"] + (wzi * nx - wxi * nz) * a_i
+    vi_z = q["w"] + (wxi * ny - wyi * nx) * a_i
+    vj_x = s["u"] + (-wyj * nz + wzj * ny) * a_j
+    vj_y = s["v"] + (-wzj * nx + wxj * nz) * a_j
+    vj_z = s["w"] + (-wxj * ny + wyj * nx) * a_j
     # NOTE: the reference's LVCForce (:353-381) uses vr = v_j - v_i and a
     # NEGATIVE spring term (fn = -kn*overlap*n), i.e. an attractive
     # normal force — that code is unreachable through the reference
@@ -319,18 +339,16 @@ def lvc_force(scene, nbrs: NeighborList, dt, kn: float, mu: float, en: float,
     vt_y = vr_y - vdotn * ny
     vt_z = vr_z - vdotn * nz
 
-    m_eff = scene.m[:, None] * scene.m[j] / (scene.m[:, None] + scene.m[j])
+    m_eff = q["m"] * s["m"] / (q["m"] + s["m"])
     eta_n = alpha * jnp.sqrt(m_eff)
     fn = kn * overlap - eta_n * vdotn
     fn_x, fn_y, fn_z = fn * nx, fn * ny, fn * nz
 
-    dem_j = scene.dem_id[j]
     found, slot_found = _match_slots(tng_idx, tng_dem, j, dem_j)
     found &= gate
     new_mask = gate & ~found
     slot_new = _allocate_slots(tng_idx < 0, new_mask)
-    n = scene.n
-    rows = jnp.broadcast_to(jnp.arange(n)[:, None], j.shape)
+    rows = jnp.broadcast_to(jnp.arange(j.shape[0])[:, None], j.shape)
     sf = jnp.clip(slot_found, 0, tng_fx.shape[1] - 1)
     # effective slot this pair writes to (found slot or fresh one)
     eff = jnp.where(found, sf, jnp.where(slot_new >= 0, slot_new, -1))

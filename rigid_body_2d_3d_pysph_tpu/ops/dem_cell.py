@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from .cellpairs import (CellGrid, CellGridConfig, gather_source_block,
                         map_over_cells, pack_fields, pack_rows, unpack)
-from .dem import lvc_displacement_core, _material_rows
+from .dem import lvc_displacement_core, lvc_force_core, _material_rows
 
 _BIG = 1.0e9
 
@@ -31,6 +31,19 @@ _F_SENT = [_BIG, _BIG, _BIG, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
 _I_SENT = [-1, -1]
 
 
+def lvc_force_cell(scene, grid: CellGrid, cfg: CellGridConfig, dt,
+                   kn: float, mu: float, en: float,
+                   tng_idx, tng_dem, tng_fx, tng_fy, tng_fz):
+    """Dense-cell evaluation of the LVC FORCE-spring model (reference
+    ``code/dem.py:296-592``; scalar material constants) — same
+    signature/returns as :func:`ops.dem.lvc_force`, same
+    :func:`ops.dem.lvc_force_core` physics, candidates from the grid's
+    stencil blocks like :func:`lvc_displacement_cell`."""
+    return _lvc_cell(scene, grid, cfg, dt,
+                     tng_idx, tng_dem, tng_fx, tng_fy, tng_fz,
+                     force_consts=(kn, mu, en))
+
+
 def lvc_displacement_cell(scene, grid: CellGrid, cfg: CellGridConfig, dt,
                           tng_idx, tng_dem, tng_x, tng_y, tng_z):
     """Dense-cell evaluation of the LVC displacement model.
@@ -38,6 +51,13 @@ def lvc_displacement_cell(scene, grid: CellGrid, cfg: CellGridConfig, dt,
     Same signature/returns as :func:`ops.dem.lvc_displacement` —
     per-particle force/torque [N] and the updated [N, L] contact table.
     """
+    return _lvc_cell(scene, grid, cfg, dt,
+                     tng_idx, tng_dem, tng_x, tng_y, tng_z,
+                     force_consts=None)
+
+
+def _lvc_cell(scene, grid: CellGrid, cfg: CellGridConfig, dt,
+              tng_idx, tng_dem, tng_x, tng_y, tng_z, force_consts):
     n = scene.n
     fdt = scene.x.dtype
     L = tng_idx.shape[1]
@@ -60,8 +80,11 @@ def lvc_displacement_cell(scene, grid: CellGrid, cfg: CellGridConfig, dt,
     t_y_d = pack_rows(grid, cfg, tng_y, 0.0)
     t_z_d = pack_rows(grid, cfg, tng_z, 0.0)
 
-    kn_t, kt_t = scene.dem_kn, scene.dem_kt
-    al_t, mu_t = scene.dem_alpha, scene.dem_mu
+    if force_consts is None:
+        kn_t, kt_t = scene.dem_kn, scene.dem_kt
+        al_t, mu_t = scene.dem_alpha, scene.dem_mu
+    else:
+        kn_t = kt_t = al_t = mu_t = None
 
     def block(start, qf, qi, ti, td, ta, tb, tc, nbrs):
         sf = gather_source_block(df, nbrs, cfg, _F_SENT)
@@ -95,12 +118,20 @@ def lvc_displacement_cell(scene, grid: CellGrid, cfg: CellGridConfig, dt,
         q_idx = qi[:, :, None, 1].reshape(R, 1)
         cand = (j >= 0) & (j != q_idx) & (rij <= cfg.radius)
 
-        out = lvc_displacement_core(
-            q, s, xij, yij, zij, rij, cand, j, dem_j, dt,
-            _material_rows(dem_j, kn_t), _material_rows(dem_j, kt_t),
-            _material_rows(dem_j, al_t), _material_rows(dem_j, mu_t),
-            ti.reshape(R, L), td.reshape(R, L),
-            ta.reshape(R, L), tb.reshape(R, L), tc.reshape(R, L))
+        if force_consts is not None:
+            kn_c, mu_c, en_c = force_consts
+            out = lvc_force_core(
+                q, s, xij, yij, zij, rij, cand & (rij > 0), j, dem_j,
+                dt, kn_c, mu_c, en_c,
+                ti.reshape(R, L), td.reshape(R, L),
+                ta.reshape(R, L), tb.reshape(R, L), tc.reshape(R, L))
+        else:
+            out = lvc_displacement_core(
+                q, s, xij, yij, zij, rij, cand, j, dem_j, dt,
+                _material_rows(dem_j, kn_t), _material_rows(dem_j, kt_t),
+                _material_rows(dem_j, al_t), _material_rows(dem_j, mu_t),
+                ti.reshape(R, L), td.reshape(R, L),
+                ta.reshape(R, L), tb.reshape(R, L), tc.reshape(R, L))
         (fx, fy, fz, tqx, tqy, tqz, ti2, td2, ta2, tb2, tc2, cnt) = out
         resh = lambda a: a.reshape(C, M, *a.shape[1:])
         return (resh(jnp.stack([fx, fy, fz, tqx, tqy, tqz,

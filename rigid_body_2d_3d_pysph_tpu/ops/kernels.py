@@ -53,6 +53,13 @@ class Kernel:
         """Scalar s with DWIJ = s * XIJ  (s = dW/dq / (h * rij), 0 at rij=0)."""
         return self.dwdq(rij, h) / h * _guarded_inv(rij)
 
+    def w_gradw(self, rij, h):
+        """(w, gradw_scalar) in one evaluation — kernels override to
+        share q / sigma / spline-piece powers between the two (the
+        fused fluid passes need both per lane; sharing saves ~13
+        VPU ops/lane for the quintic)."""
+        return self.w(rij, h), self.gradw_scalar(rij, h)
+
 
 @dataclass(frozen=True)
 class QuinticSpline(Kernel):
@@ -85,6 +92,20 @@ class QuinticSpline(Kernel):
         t3, t2, t1 = self._pieces(q)
         val = -5.0 * t3**4 + 30.0 * t2**4 - 75.0 * t1**4
         return self.sigma(h) * val
+
+    def w_gradw(self, rij, h):
+        """Shared-piece (w, gradw_scalar): one q, one sigma, and the
+        5th powers built from the 4th (t**5 = t**4 * t — XLA lowers
+        integer powers the same way, so the values are bit-identical
+        to :meth:`w`/:meth:`gradw_scalar`)."""
+        q = rij / h
+        t3, t2, t1 = self._pieces(q)
+        t3_4, t2_4, t1_4 = t3**4, t2**4, t1**4
+        sig = self.sigma(h)
+        w = sig * (t3_4 * t3 - 6.0 * (t2_4 * t2) + 15.0 * (t1_4 * t1))
+        dval = -5.0 * t3_4 + 30.0 * t2_4 - 75.0 * t1_4
+        s = sig * dval / h * _guarded_inv(rij)
+        return w, s
 
 
 @dataclass(frozen=True)

@@ -492,7 +492,8 @@ def contact_payload(scene, two_d: bool = False):
             scene.m / scene.rho, scene.h, flags]
 
 
-def _cull_interesting_slots(dfT, slot_cid, cfg: CellGridConfig):
+def _cull_interesting_slots(dfT, slot_cid, cfg: CellGridConfig,
+                            union: bool = False):
     """Conservative per-slot interest test for the Mofidi contact gate.
 
     A slot's queries can produce a gated pair ONLY if (a) the slot has a
@@ -518,8 +519,14 @@ def _cull_interesting_slots(dfT, slot_cid, cfg: CellGridConfig):
     BIGD = jnp.float32(2.0e9)
 
     # per-slot lane aggregates from the packed flags row (sentinel
-    # lanes decode to dem=-1/rigid=0/bdry=0 and drop out)
-    dem, bdry, fluid, rigid = _decode_flags(dfT[:NC, F - 1, :])
+    # lanes decode to dem=-1/rigid=0/bdry=0 and drop out).  ``union``
+    # reads the COUPLING pack's wider flags word (pallas_fluid layout;
+    # the contact gate's boundary bit is cfib there)
+    if union:
+        from .pallas_fluid import _decode_flags as _dec_union
+        dem, bdry, _sb, fluid, rigid = _dec_union(dfT[:NC, F - 1, :])
+    else:
+        dem, bdry, fluid, rigid = _decode_flags(dfT[:NC, F - 1, :])
     qmask = rigid == 1.0
     smask = (bdry == 1.0) & (fluid == 0.0)
     qdmin = jnp.min(jnp.where(qmask, dem, BIGD), axis=1)    # [NC]
@@ -563,6 +570,33 @@ def _cull_interesting_slots(dfT, slot_cid, cfg: CellGridConfig):
     # expand kernel's covered range are UNWRITTEN garbage
     interesting = has_q & has_s & ~uniform & (slot_cid < G)
 
+    iota = jnp.arange(NC, dtype=jnp.int32)
+    islot = jnp.sort(jnp.where(interesting, iota, NC))
+    return interesting, islot
+
+
+def _cull_rigid_query_slots(dfT, slot_cid, cfg: CellGridConfig,
+                            union: bool = True):
+    """LIGHT interest test: a slot is interesting iff it holds a RIGID
+    query lane.  Conservative superset of :func:`_cull_interesting_
+    slots` w.r.t. outputs (a rigid query with no gated source still
+    produces exactly the init row), but with none of the per-cell
+    source tables / stencil unions — one flag decode + one lane
+    reduction.  Right for schemes where rigid particles are a small
+    fraction (the FSI coupling: one body in a tank of fluid); the
+    contact scheme keeps the full test (its scenes are mostly rigid,
+    and dem-uniformity is what culls body interiors there)."""
+    NC = cfg.NC_max
+    G = cfg.n_cells_total
+    F = dfT.shape[1]
+    if union:
+        from .pallas_fluid import _decode_flags as _dec_union
+        _, _, _, _, rigid = _dec_union(dfT[:NC, F - 1, :])
+    else:
+        _, _, _, rigid = _decode_flags(dfT[:NC, F - 1, :])
+    # sentinel/pad lanes decode rigid=0; garbage tail rows gate out via
+    # the slot_cid sentinel
+    interesting = jnp.any(rigid == 1.0, axis=1) & (slot_cid < G)
     iota = jnp.arange(NC, dtype=jnp.int32)
     islot = jnp.sort(jnp.where(interesting, iota, NC))
     return interesting, islot

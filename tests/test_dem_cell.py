@@ -176,3 +176,77 @@ def test_dem_cell_step_trajectory_matches():
         np.testing.assert_allclose(np.asarray(scene_c[k]),
                                    np.asarray(scene_n[k]), atol=1e-9,
                                    err_msg=k)
+
+
+def test_dem_cell_lvc_force_trajectory_matches():
+    """25 full DEM steps with the LVCForce contact model: the dense cell
+    engine (dem_cell.lvc_force_cell) vs the [N, K] list engine —
+    trajectories, forces, and the tangential FORCE table must match
+    (reference LVCForce, code/dem.py:296-592; --contact-model selects
+    it at :684-687)."""
+    import numpy as _np
+    rng = _np.random.default_rng(99)
+    rad = 0.05
+    nx_, ny_ = 12, 6
+    gx_, gy_ = _np.meshgrid(_np.arange(nx_) * 2.05 * rad,
+                            _np.arange(ny_) * 2.05 * rad)
+    x = gx_.ravel() + rng.uniform(-0.2 * rad, 0.2 * rad, gx_.size)
+    y = gy_.ravel() + 0.9 * rad + rng.uniform(0, 0.2 * rad, gx_.size)
+    m = 2600.0 * (2 * rad) ** 2
+    xf = _np.arange(-4, nx_ * 2 + 4) * rad
+    yf = _np.full(len(xf), -0.55 * rad)
+    uvw = (rng.uniform(-0.5, 0.5, gx_.size + len(xf)),
+           rng.uniform(-0.5, 0.0, gx_.size + len(xf)),
+           rng.uniform(-2, 2, gx_.size + len(xf)))
+
+    def make(engine):
+        grains = make_group("grains", x, y, m=m, h=1.2 * rad, rho=2600.0,
+                            rad_s=rad, role=ROLE_RIGID,
+                            body_id=np.arange(gx_.size, dtype=np.int32),
+                            dem_id=0)
+        floor = make_group("floor", xf, yf, m=m, h=1.2 * rad, rho=2600.0,
+                           rad_s=rad / 2, role=ROLE_BOUNDARY, dem_id=1)
+        scene = build_scene([grains, floor], dim=2, total_no_bodies=2,
+                            spacing0=2 * rad)
+        scheme = DEMScheme(granular_particles=["grains"],
+                           boundaries=["floor"], kn=1e5, en=0.5,
+                           gy=-9.81, dim=2, contact_model="LVCForce")
+        scheme.engine = engine
+        scene = scheme.setup(scene)
+        u, v, wz = uvw
+        return scheme, scene.replace(
+            u=jnp.asarray(u[:scene.n], scene.x.dtype),
+            v=jnp.asarray(v[:scene.n], scene.x.dtype),
+            wz=jnp.asarray(wz[:scene.n], scene.x.dtype))
+
+    scheme_n, scene_n = make("nklist")
+    scheme_c, scene_c = make("cell")
+    step_n = scheme_n.make_step(scene_n)
+    step_c = scheme_c.make_step(scene_c)
+    dt = jnp.asarray(1e-5)
+    for _ in range(25):
+        scene_n = step_n(scene_n, dt)
+        scene_c = step_c(scene_c, dt)
+    assert not bool(np.asarray(scene_c.nbr_overflow))
+    assert int(np.asarray(scene_n.total_tng_contacts).sum()) > 0
+    for k in ("x", "y", "u", "v", "wz", "fx", "fy", "torz",
+              "total_tng_contacts"):
+        np.testing.assert_allclose(np.asarray(scene_c[k]),
+                                   np.asarray(scene_n[k]), atol=1e-9,
+                                   err_msg=k)
+    # the tangential force tables hold the same (j, value) CONTENT;
+    # slot order may differ between engines, so compare per-particle
+    # sorted (partner, dem, fx, fy) rows
+    tn = np.stack([np.asarray(scene_n.tng_idx),
+                   np.asarray(scene_n.tng_idx_dem_id),
+                   np.asarray(scene_n.tng_fx),
+                   np.asarray(scene_n.tng_fy)], axis=-1)
+    tc = np.stack([np.asarray(scene_c.tng_idx),
+                   np.asarray(scene_c.tng_idx_dem_id),
+                   np.asarray(scene_c.tng_fx),
+                   np.asarray(scene_c.tng_fy)], axis=-1)
+    for i in range(tn.shape[0]):
+        a = tn[i][np.lexsort(tn[i].T[::-1])]
+        b = tc[i][np.lexsort(tc[i].T[::-1])]
+        np.testing.assert_allclose(b, a, atol=1e-9,
+                                   err_msg=f"table row {i}")
