@@ -211,6 +211,31 @@ def redistribute(scene: Scene, cfg: SlabConfig) -> Scene:
 # the sharded step
 # ---------------------------------------------------------------------------
 
+def _compact_two_faces(m_left, m_right, fields, cap, flag_at=None):
+    """Both faces' send buffers from ONE stable 3-way sort (key 0 =
+    left-band row, 1 = right-band, 2 = rest): the sorted prefix is the
+    left buffer, the following run the right one.  Requires the bands
+    DISJOINT (slabs >= 2 cells wide).  Bit-identical buffers to two
+    :func:`_compact_rows` calls — stable sort preserves in-band order."""
+    n = m_left.shape[0]
+    key = jnp.where(m_left, 0, jnp.where(m_right, 1, 2)).astype(jnp.int32)
+    order = jnp.argsort(key, stable=True)
+    nl = jnp.sum(m_left.astype(jnp.int32))
+    nr = jnp.sum(m_right.astype(jnp.int32))
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    take_l = order[:cap]
+    take_r = order.at[jnp.minimum(nl + idx, n - 1)].get(mode="clip")
+
+    def build(take, valid):
+        cols = [jnp.where(valid, f[take], 0.0) for f in fields]
+        cols.insert(len(cols) if flag_at is None else flag_at,
+                    valid.astype(fields[0].dtype))
+        return jnp.stack(cols, axis=1)
+
+    return (build(take_l, idx < nl), build(take_r, idx < nr),
+            jnp.sum(m_left) > cap, jnp.sum(m_right) > cap)
+
+
 def _compact_rows(mask, fields, cap, flag_at=None):
     """First ``cap`` rows matching ``mask`` (stable order), as a
     [cap, F+1] buffer with a validity-flag column (inserted at
@@ -279,15 +304,29 @@ def make_slab_step(scheme, scene: Scene, mesh: Mesh, cfg: SlabConfig,
 
         # ---- halo exchange ------------------------------------------------
         act = scene_l.active
-        # one compaction sort per face (dem/fluid ride the same buffer;
-        # the valid flag stays at column len(GHOST_FIELDS))
+        # ONE compaction sort for BOTH faces (dem/fluid ride the same
+        # buffer; the valid flag stays at column len(GHOST_FIELDS)):
+        # key left-face rows 0, right-face 1, rest 2 — a stable sort
+        # puts the left band first, then the right band, and each
+        # face's buffer is a slice.  Face membership is exclusive for
+        # slabs >= 2 cells wide (each band is one cell ring); a
+        # particle in both bands only occurs on degenerate 1-cell
+        # slabs, where it must go to BOTH faces — fall back to two
+        # sorts there.  Stable order within each band matches the
+        # two-sort form exactly, so buffers are bit-identical.
         gf = ([scene_l[k] for k in GHOST_FIELDS]
               + [scene_l.dem_id.astype(fdt),
                  scene_l.is_fluid.astype(fdt)])
-        right_buf, ovr = _compact_rows(act & (scene_l.x >= hi - w), gf, H,
-                                       flag_at=len(GHOST_FIELDS))
-        left_buf, ovl = _compact_rows(act & (scene_l.x < lo + w), gf, H,
-                                      flag_at=len(GHOST_FIELDS))
+        m_left = act & (scene_l.x < lo + w)
+        m_right = act & (scene_l.x >= hi - w)
+        if cfg.slab_cells >= 2:
+            left_buf, right_buf, ovl, ovr = _compact_two_faces(
+                m_left, m_right, gf, H, flag_at=len(GHOST_FIELDS))
+        else:
+            right_buf, ovr = _compact_rows(m_right, gf, H,
+                                           flag_at=len(GHOST_FIELDS))
+            left_buf, ovl = _compact_rows(m_left, gf, H,
+                                          flag_at=len(GHOST_FIELDS))
 
         # ring sends (non-periodic: edge devices receive zeros -> valid=0)
         from_left = jax.lax.ppermute(
